@@ -1,0 +1,62 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS, so pin the default device to the
+# host CPU backend explicitly; multi-chip tests grab jax.devices("cpu") (8
+# virtual devices via the XLA flag above).
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def load_fixture(name):
+    path = os.path.join(FIXDIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"fixture {name} missing (run tools/cref/build.sh + gen_fixtures.py)")
+    return np.load(path)
+
+
+@pytest.fixture(scope="session")
+def codec_fixture():
+    return load_fixture("codec.npz")
+
+
+@pytest.fixture(scope="session")
+def ulaw_fixture():
+    return load_fixture("ulaw.npz")
+
+
+@pytest.fixture(scope="session")
+def transforms_fixture():
+    return load_fixture("transforms.npz")
+
+
+@pytest.fixture(scope="session")
+def bands_fixture():
+    return load_fixture("bands.npz")
+
+
+@pytest.fixture(scope="session")
+def burg_fixture():
+    return load_fixture("burg.npz")
+
+
+@pytest.fixture(scope="session")
+def codebooks_fixture():
+    return load_fixture("codebooks.npz")
