@@ -1,0 +1,309 @@
+"""The LPCNet vocoder model: frame-rate conditioning + sample-rate AR core.
+
+Design: one parameter pytree serves the training graph (sequence form,
+differentiable) and inference (streaming form). For inference the params are
+*fused* the same way the reference's export step does
+(training_tf2/dump_lpcnet.py:333-350): the shared signal embedding is
+premultiplied into GRU-A's input weights, yielding three [256, 3*Na] lookup
+tables, and the feature columns of GRU-A/GRU-B kernels become per-frame
+conditioning matrices. The sample loop then does no input matmul at all --
+just three row gathers, one recurrent matmul, and the dual-FC bit-tree
+sampler (src/lpcnet.c:146-167, src/nnet.c:163-214).
+
+Layout notes: GRU-A's input is [sig_embed(128) | pred_embed(128) |
+exc_embed(128) | cond(128)]; GRU-B's input is [gru_a_out(384) | cond(128)]
+(training_tf2/lpcnet.py:275-300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..dsp import lpc as lpc_mod
+from ..dsp import mulaw
+from ..dsp.constants import LPC_ORDER, NB_FEATURES, PREEMPHASIS
+from ..nn import init as nn_init
+from ..nn import layers as nn
+
+PCM_BITS = 8
+PCM_LEVELS = 256
+EMBED_SIZE = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class LPCNetConfig:
+    rnn_units1: int = 384
+    rnn_units2: int = 16
+    cond_size: int = 128
+    nb_used_features: int = NB_FEATURES
+    frame_size: int = 160
+    conv_kernel: int = 3
+    pitch_embed_dim: int = 64
+    e2e: bool = False
+    lpc_gamma: float = 1.0
+    lookahead: int = 2          # FEATURES_DELAY
+
+    @property
+    def frame_input_size(self) -> int:
+        return self.nb_used_features + self.pitch_embed_dim
+
+    @property
+    def gru_a_input_size(self) -> int:
+        return 3 * EMBED_SIZE + self.cond_size
+
+    @property
+    def gru_b_input_size(self) -> int:
+        return self.rnn_units1 + self.cond_size
+
+
+def init_params(key, cfg: LPCNetConfig) -> Dict[str, Any]:
+    ks = jax.random.split(key, 10)
+    return {
+        "embed_pitch": nn_init.embedding_params(ks[0], 256, cfg.pitch_embed_dim),
+        "feature_conv1": nn_init.conv1d_params(ks[1], cfg.conv_kernel, cfg.frame_input_size, cfg.cond_size),
+        "feature_conv2": nn_init.conv1d_params(ks[2], cfg.conv_kernel, cfg.cond_size, cfg.cond_size),
+        "feature_dense1": nn_init.dense_params(ks[3], cfg.cond_size, cfg.cond_size),
+        "feature_dense2": nn_init.dense_params(ks[4], cfg.cond_size, cfg.cond_size),
+        "embed_sig": nn_init.embedding_params(ks[5], 256, EMBED_SIZE, kind="pcm"),
+        "gru_a": nn_init.gru_params(ks[6], cfg.gru_a_input_size, cfg.rnn_units1),
+        "gru_b": nn_init.gru_params(ks[7], cfg.gru_b_input_size, cfg.rnn_units2),
+        "dual_fc": nn_init.mdense_params(ks[8], cfg.rnn_units2, PCM_LEVELS),
+    }
+
+
+# --------------------------------------------------------------------------
+# Inference-fused parameters
+# --------------------------------------------------------------------------
+
+def fuse_inference_params(params: Dict[str, Any], cfg: LPCNetConfig) -> Dict[str, Any]:
+    """Precompute embedding x GRU-A-kernel products and conditioning mats.
+
+    Mirrors training_tf2/dump_lpcnet.py:333-350. Returns a new pytree with:
+      embed_sig_a/pred_a/exc_a: [256, 3*Na] fused lookup tables
+      cond_to_a: {"kernel": [cond, 3*Na], "bias"}   (bias = gru_a input bias)
+      cond_to_b: {"kernel": [cond, 3*Nb], "bias"}   (bias = gru_b input bias)
+      gru_a_rec / gru_b_rec: recurrent weights + biases
+      dual_fc, frame-net params unchanged.
+    """
+    e = params["embed_sig"]["table"]
+    ka = params["gru_a"]["kernel"]
+    fused = {
+        "embed_pitch": params["embed_pitch"],
+        "feature_conv1": params["feature_conv1"],
+        "feature_conv2": params["feature_conv2"],
+        "feature_dense1": params["feature_dense1"],
+        "feature_dense2": params["feature_dense2"],
+        "embed_sig_a": jnp.matmul(e, ka[:EMBED_SIZE], precision=nn.HIGHEST),
+        "embed_pred_a": jnp.matmul(e, ka[EMBED_SIZE:2 * EMBED_SIZE], precision=nn.HIGHEST),
+        "embed_exc_a": jnp.matmul(e, ka[2 * EMBED_SIZE:3 * EMBED_SIZE], precision=nn.HIGHEST),
+        "cond_to_a": {"kernel": ka[3 * EMBED_SIZE:], "bias": params["gru_a"]["bias"][0]},
+        "cond_to_b": {"kernel": params["gru_b"]["kernel"][cfg.rnn_units1:],
+                      "bias": params["gru_b"]["bias"][0]},
+        "gru_a_rec": {"recurrent": params["gru_a"]["recurrent"],
+                      "bias": params["gru_a"]["bias"]},
+        "gru_b_in": params["gru_b"]["kernel"][: cfg.rnn_units1],
+        "gru_b_rec": {"recurrent": params["gru_b"]["recurrent"],
+                      "bias": params["gru_b"]["bias"]},
+        "dual_fc": params["dual_fc"],
+    }
+    return fused
+
+
+# --------------------------------------------------------------------------
+# Frame-rate network
+# --------------------------------------------------------------------------
+
+class FrameState(NamedTuple):
+    """Streaming conv state + delayed-LPC buffer, batched [B, ...]."""
+    conv1_mem: jnp.ndarray     # [B, k-1, frame_input]
+    conv2_mem: jnp.ndarray     # [B, k-1, cond]
+    old_lpc: jnp.ndarray       # [B, lookahead, 16]
+    frame_count: jnp.ndarray   # [B] int32
+
+
+def init_frame_state(batch: int, cfg: LPCNetConfig) -> FrameState:
+    k = cfg.conv_kernel
+    return FrameState(
+        conv1_mem=jnp.zeros((batch, k - 1, cfg.frame_input_size), jnp.float32),
+        conv2_mem=jnp.zeros((batch, k - 1, cfg.cond_size), jnp.float32),
+        old_lpc=jnp.zeros((batch, max(cfg.lookahead, 1), LPC_ORDER), jnp.float32),
+        frame_count=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def pitch_index(features):
+    """features[..., 18] -> embedding index (src/lpcnet.c:92-94)."""
+    p = jnp.floor(0.1 + 50.0 * features[..., NB_FEATURES - 2] + 100.0).astype(jnp.int32)
+    return jnp.clip(p, 33, 255)
+
+
+def frame_network(fused, state: FrameState, features, cfg: LPCNetConfig):
+    """One frame of conditioning. features: [B, 36] (or [B, >=20]).
+
+    Returns (new_state, cond [B, cond], cond_a [B, 3Na], cond_b [B, 3Nb],
+    lpc [B, 16]).
+
+    Replicates run_frame_network (src/lpcnet.c:82-120): conv warmup zeroing,
+    delayed LPC via the old_lpc FIFO, optional e2e rc path, lpc_gamma.
+    """
+    f20 = features[..., : cfg.nb_used_features]
+    pembed = nn.embedding(fused["embed_pitch"], pitch_index(features))
+    x = jnp.concatenate([f20, pembed], axis=-1)
+    c1, mem1 = nn.conv1d_stream(fused["feature_conv1"], x, state.conv1_mem)
+    conv1_delay = (cfg.conv_kernel - 1) // 2
+    c1 = jnp.where((state.frame_count < conv1_delay)[..., None], 0.0, c1)
+    c2, mem2 = nn.conv1d_stream(fused["feature_conv2"], c1, state.conv2_mem)
+    c2 = jnp.where((state.frame_count < cfg.lookahead)[..., None], 0.0, c2)
+    d1 = nn.dense(fused["feature_dense1"], c2, "tanh")
+    cond = nn.dense(fused["feature_dense2"], d1, "tanh")
+    cond_a = nn.dense(fused["cond_to_a"], cond)
+    cond_b = nn.dense(fused["cond_to_b"], cond)
+
+    if cfg.e2e:
+        # cond is already tanh-bounded; the first 16 units are the RCs
+        # (src/lpcnet.c:104-108, training_tf2/tf_funcs.py:45-56)
+        lpc = lpc_mod.rc2lpc(cond[..., :LPC_ORDER])
+        new_old = state.old_lpc
+    else:
+        lpc_now = lpc_mod.lpc_from_cepstrum(features[..., :18])
+        if cfg.lookahead > 0:
+            lpc = state.old_lpc[:, -1]
+            new_old = jnp.concatenate(
+                [lpc_now[:, None], state.old_lpc[:, :-1]], axis=1)
+        else:
+            lpc = lpc_now
+            new_old = state.old_lpc
+    if cfg.lpc_gamma != 1.0:
+        lpc = lpc_mod.lpc_weighting(lpc, cfg.lpc_gamma)
+    new_state = FrameState(mem1, mem2, new_old,
+                           jnp.minimum(state.frame_count + 1, 1000))
+    return new_state, cond, cond_a, cond_b, lpc
+
+
+# --------------------------------------------------------------------------
+# Sample-rate network (XLA lax.scan reference path)
+# --------------------------------------------------------------------------
+
+class SampleState(NamedTuple):
+    """Per-stream AR state, batched [B, ...] (cf. LPCNetState,
+    src/lpcnet_private.h:28-48)."""
+    gru_a: jnp.ndarray        # [B, Na]
+    gru_b: jnp.ndarray        # [B, Nb]
+    last_sig: jnp.ndarray     # [B, 16] most recent first
+    last_exc: jnp.ndarray     # [B] int32 u-law code
+    deemph: jnp.ndarray       # [B] de-emphasis memory
+    rng: Any                  # Kiss99State with [B] leaves
+
+
+def init_sample_state(batch: int, cfg: LPCNetConfig) -> SampleState:
+    from ..utils.rng import kiss99_srand
+    return SampleState(
+        gru_a=jnp.zeros((batch, cfg.rnn_units1), jnp.float32),
+        gru_b=jnp.zeros((batch, cfg.rnn_units2), jnp.float32),
+        last_sig=jnp.zeros((batch, LPC_ORDER), jnp.float32),
+        last_exc=jnp.full((batch,), 128, jnp.int32),
+        deemph=jnp.zeros((batch,), jnp.float32),
+        rng=kiss99_srand(n_streams=batch),
+    )
+
+
+def sampling_logit_table():
+    """t[i] = logit(.025 + .95*i/255) (src/lpcnet.c:188-191)."""
+    import numpy as np
+    i = np.arange(256, dtype=np.float32)
+    p = 0.025 + 0.95 * i / 255.0
+    return (-np.log((1.0 - p) / p)).astype(np.float32)
+
+
+_LOGIT_TABLE = sampling_logit_table()
+
+
+def _logit_table():
+    return jnp.asarray(_LOGIT_TABLE)
+
+
+def sample_excitation(dual_fc, gru_b_state, rng):
+    """Bit-tree sampling of the 8-bit u-law excitation (src/nnet.c:163-214).
+
+    Returns (exc [B] int32, new_rng). Two KISS99 draws per sample supply the
+    8 threshold bytes, exactly like the C implementation.
+    """
+    from ..utils.rng import kiss99_step
+    table = _logit_table()
+    r1, rng = kiss99_step(rng)
+    r2, rng = kiss99_step(rng)
+    bytes_ = [
+        (r1 >> 0) & 0xFF, (r1 >> 8) & 0xFF, (r1 >> 16) & 0xFF, (r1 >> 24) & 0xFF,
+        (r2 >> 0) & 0xFF, (r2 >> 8) & 0xFF, (r2 >> 16) & 0xFF, (r2 >> 24) & 0xFF,
+    ]
+    thresholds = [jnp.take(table, b.astype(jnp.int32)) for b in bytes_]
+    val = jnp.zeros(gru_b_state.shape[:-1], jnp.int32)
+    for b in range(8):
+        rows = (1 << b) | val
+        logit = nn.mdense_logits_pair(dual_fc, gru_b_state, rows)
+        bit = (thresholds[b] < logit).astype(jnp.int32)
+        val = (val << 1) | bit
+    return val, rng
+
+
+def sample_network_step(fused, state: SampleState, cond_a, cond_b,
+                        sig_u, pred_u):
+    """One sample step given u-law codes of last signal and prediction."""
+    gate_a = (cond_a
+              + jnp.take(fused["embed_sig_a"], sig_u, axis=0)
+              + jnp.take(fused["embed_pred_a"], pred_u, axis=0)
+              + jnp.take(fused["embed_exc_a"], state.last_exc, axis=0))
+    h_a = nn.gru_precomputed_step(fused["gru_a_rec"], state.gru_a, gate_a)
+    gate_b = cond_b + jnp.matmul(h_a, fused["gru_b_in"], precision=nn.HIGHEST)
+    h_b = nn.gru_precomputed_step(fused["gru_b_rec"], state.gru_b, gate_b)
+    exc, rng = sample_excitation(fused["dual_fc"], h_b, state.rng)
+    return h_a, h_b, exc, rng
+
+
+def synthesize_frame(fused, state: SampleState, cond_a, cond_b, lpc,
+                     n_samples: int = 160, preload=None):
+    """Generate one frame of audio for a batch of streams.
+
+    Args:
+      state: SampleState [B, ...].
+      cond_a/cond_b: per-frame conditioning, [B, 3Na]/[B, 3Nb].
+      lpc: [B, 16].
+      preload: optional [B, n_samples] float target pcm for teacher forcing
+        (the C `preload` path, src/lpcnet.c:256-259) -- when given, the
+        excitation/signal fed back is derived from the target instead of the
+        model's own sample. Full-frame teacher forcing only (codec PLC uses
+        whole frames).
+
+    Returns (new_state, pcm [B, n_samples] float in [-32767, 32767]).
+
+    Matches lpcnet_synthesize_tail_impl (src/lpcnet.c:235-271).
+    """
+    use_preload = preload is not None
+    if preload is None:
+        preload = jnp.zeros(cond_a.shape[:-1] + (n_samples,), jnp.float32)
+
+    def step(st: SampleState, target):
+        pred = -jnp.sum(st.last_sig * lpc, axis=-1)
+        sig_u = mulaw.lin2ulaw(st.last_sig[..., 0])
+        pred_u = mulaw.lin2ulaw(pred)
+        h_a, h_b, exc, rng = sample_network_step(
+            fused, st, cond_a, cond_b, sig_u, pred_u)
+        if use_preload:
+            # teacher forcing: target is the de-emphasized waveform
+            pcm = target - PREEMPHASIS * st.deemph
+            exc = mulaw.lin2ulaw(pcm - pred)
+        else:
+            pcm = pred + mulaw.ulaw2lin(exc)
+        new_last_sig = jnp.concatenate([pcm[..., None], st.last_sig[..., :-1]], axis=-1)
+        out = pcm + PREEMPHASIS * st.deemph
+        new_state = SampleState(h_a, h_b, new_last_sig, exc, out, rng)
+        out = jnp.clip(out, -32767.0, 32767.0)
+        return new_state, out
+
+    new_state, pcm = jax.lax.scan(step, state, jnp.moveaxis(preload, -1, 0))
+    pcm = jnp.moveaxis(pcm, 0, -1)
+    return new_state, jnp.floor(0.5 + pcm)
