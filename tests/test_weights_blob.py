@@ -1,0 +1,89 @@
+"""Weight blob round-trip tests: our writer <-> our reader, and the fused
+pytree produced from an exported blob must act identically to in-memory
+fusion (this is the same guarantee the reference gets from its codegen)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lpcnet_tpu.models import lpcnet as M
+from lpcnet_tpu.weights import blob as B
+from lpcnet_tpu.weights import load_lpcnet_blob, save_lpcnet_blob
+
+
+def test_container_roundtrip():
+    rng = np.random.RandomState(0)
+    arrays = {
+        "alpha": rng.randn(37).astype(np.float32),
+        "beta_idx": rng.randint(0, 100, 11).astype(np.int32),
+        "gamma_q": rng.randint(-128, 128, 64).astype(np.int8),
+    }
+    data = B.write_blob(arrays)
+    assert len(data) % 64 == 0
+    back = B.read_blob(data)
+    assert set(back) == set(arrays)
+    for k in arrays:
+        np.testing.assert_array_equal(back[k], arrays[k])
+
+
+def test_sparse_roundtrip():
+    rng = np.random.RandomState(1)
+    rows, cols = 64, 192
+    dense = rng.randn(rows, cols).astype(np.float32) * 0.3
+    # kill ~70% of 4x8 blocks
+    for rb in range(rows // 4):
+        for cb in range(cols // 8):
+            if rng.rand() < 0.7:
+                dense[rb * 4:(rb + 1) * 4, cb * 8:(cb + 1) * 8] = 0.0
+    w, idx = B.encode_sparse(dense, quantize=True)
+    got, mask = B.decode_sparse(w, idx, rows, cols)
+    q = np.clip(np.round(dense * 128), -128, 127) / 128.0
+    np.testing.assert_allclose(got, q, atol=1e-9)
+    assert mask.max() <= 1.0
+
+    w2, idx2 = B.encode_sparse(dense, quantize=False)
+    got2, _ = B.decode_sparse(w2, idx2, rows, cols)
+    np.testing.assert_allclose(got2, dense, atol=0)
+
+
+def test_dotp_roundtrip():
+    rng = np.random.RandomState(2)
+    dense = rng.randn(16, 48).astype(np.float32) * 0.4
+    flat = B.encode_dotp_dense(dense)
+    back = B.decode_dotp_dense(flat, 16, 48)
+    q = np.clip(np.round(dense * 128), -128, 127) / 128.0
+    np.testing.assert_allclose(back, q, atol=1e-9)
+
+
+def test_blob_export_import_fused_equivalence():
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
+                         pitch_embed_dim=8)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    data = save_lpcnet_blob(params, cfg, quantize=False)
+    fused_blob = load_lpcnet_blob(data, cfg)
+    fused_mem = M.fuse_inference_params(params, cfg)
+
+    # same conditioning and one identical sample step
+    b = 2
+    feats = jax.random.normal(jax.random.PRNGKey(3), (b, 36)) * 0.3
+    for fused in (fused_mem, fused_blob):
+        fs = M.init_frame_state(b, cfg)
+        ss = M.init_sample_state(b, cfg)
+        fs, cond, ca, cb, lpc = M.frame_network(fused, fs, feats, cfg)
+        ss, pcm = M.synthesize_frame(fused, ss, ca, cb, lpc, n_samples=32)
+        if fused is fused_mem:
+            ref = np.asarray(pcm)
+        else:
+            np.testing.assert_allclose(np.asarray(pcm), ref, atol=2.0)
+
+
+def test_blob_quantized_loads():
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
+                         pitch_embed_dim=8)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    data = save_lpcnet_blob(params, cfg, quantize=True)
+    fused = load_lpcnet_blob(data, cfg)
+    # int8-encoded recurrent weights decode to the 1/128 grid
+    r = np.asarray(fused["gru_b_rec"]["recurrent"])
+    assert np.allclose(r * 128, np.round(r * 128), atol=1e-4)
