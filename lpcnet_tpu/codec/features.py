@@ -200,3 +200,38 @@ def compute_features(state: EncoderState, pcm):
 
     state, feats = jax.lax.scan(step, state, jnp.moveaxis(chunks, 1, 0))
     return state, jnp.moveaxis(feats, 0, 1)
+
+
+def compute_single_frame_features(state: EncoderState, frame
+                                  ) -> Tuple[EncoderState, jnp.ndarray]:
+    """Per-frame feature path with the 2-subframe Viterbi
+    (lpcnet_compute_single_frame_features, src/lpcnet_enc.c:814-870,919-925).
+
+    Args: frame [B, 160] raw float PCM. Returns (state, features [B, 36]).
+    """
+    state, feats = frame_features_step(state, frame, 0)
+    w = _normalized_weights(state.frame_weight, 2, 2)
+    xcs = jax.vmap(jax.vmap(pitch_mod.octave_suppress))(state.xc[:, 2:4])
+    carry, periods, corr = jax.vmap(pitch_mod.viterbi_track)(
+        state.viterbi, xcs, w)
+    psum = periods[..., 0] + periods[..., 1]
+    period_feat = 0.01 * (jnp.clip(psum, 66, 510).astype(jnp.float32) - 200.0)
+    feats = feats.at[..., NB_BANDS].set(period_feat)
+    feats = feats.at[..., NB_BANDS + 1].set(corr - 0.5)
+    xc_new = state.xc.at[:, 2:4].set(xcs)
+    state = state._replace(xc=xc_new, viterbi=carry)
+    return state, feats
+
+
+def compute_single_frame_features_seq(state: EncoderState, pcm):
+    """Scan driver: pcm [B, T*160] -> (state, features [B, T, 36])."""
+    b = pcm.shape[0]
+    t = pcm.shape[-1] // FRAME_SIZE
+    frames = pcm[..., : t * FRAME_SIZE].reshape(b, t, FRAME_SIZE)
+
+    def step(st, fr):
+        st, f = compute_single_frame_features(st, fr)
+        return st, f
+
+    state, feats = jax.lax.scan(step, state, jnp.moveaxis(frames, 1, 0))
+    return state, jnp.moveaxis(feats, 0, 1)
