@@ -1,0 +1,73 @@
+"""Throughput benchmark: batched neural synthesis on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+North star (BASELINE.md): >=256 concurrent 16 kHz streams per chip, each
+>1x real-time => >4.096 Msamples/s/chip aggregate. vs_baseline is the ratio
+of measured aggregate samples/s to that 4.096 Msamples/s bar (the reference
+C implementation is single-stream ~3 GFLOPS real-time on a desktop core;
+its per-chip equivalent at 256 streams is the same bar).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
+                    kernel: str = "auto"):
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu.codec.decoder import _synthesize_one_frame
+    from lpcnet_tpu.models import lpcnet as M
+
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    fstate = M.init_frame_state(batch, cfg)
+    sstate = M.init_sample_state(batch, cfg)
+    # realistic feature magnitudes (random conditioning; the compute path is
+    # identical regardless of feature content)
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(batch, 36).astype(np.float32) * 0.3)
+
+    step = jax.jit(lambda fs, ss, f: _synthesize_one_frame(fused, cfg, fs, ss, f))
+
+    # warmup + state priming
+    for _ in range(warmup_frames):
+        fstate, sstate, pcm = step(fstate, sstate, feats)
+    pcm.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        fstate, sstate, pcm = step(fstate, sstate, feats)
+    pcm.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    samples = batch * n_frames * 160
+    return samples / dt
+
+
+def main():
+    batch = int(os.environ.get("LPCNET_BENCH_BATCH", "256"))
+    n_frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
+    sps = bench_synthesis(batch, n_frames)
+    baseline = 256 * 16000.0   # 256 real-time 16 kHz streams per chip
+    rtf = sps / batch / 16000.0
+    result = {
+        "metric": f"synthesis_samples_per_sec_chip_b{batch}",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / baseline, 4),
+        "per_stream_rtf": round(rtf, 4),
+        "streams": batch,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -307,3 +307,90 @@ def synthesize_frame(fused, state: SampleState, cond_a, cond_b, lpc,
     new_state, pcm = jax.lax.scan(step, state, jnp.moveaxis(preload, -1, 0))
     pcm = jnp.moveaxis(pcm, 0, -1)
     return new_state, jnp.floor(0.5 + pcm)
+
+
+# --------------------------------------------------------------------------
+# Training graph (sequence form; mirrors training_tf2/lpcnet.py:234-313)
+# --------------------------------------------------------------------------
+
+def diff_embed(table, x):
+    """Fractional embedding lookup (training_tf2/diffembed.py:35-41)."""
+    alpha = (x - jnp.floor(x))[..., None]
+    i0 = x.astype(jnp.int32)
+    i1 = jnp.clip(i0 + 1, 0, 255)
+    return (1.0 - alpha) * table[i0] + alpha * table[i1]
+
+
+def frame_network_seq(params, features, periods, cfg: LPCNetConfig):
+    """Training-mode frame-rate net with 'valid' convs.
+
+    Args: features [B, Tf, 20], periods [B, Tf] int32.
+    Returns cfeat [B, Tf-4, cond].
+    """
+    from ..nn import layers as L
+    pembed = L.embedding(params["embed_pitch"], jnp.clip(periods, 0, 255))
+    x = jnp.concatenate([features[..., : cfg.nb_used_features], pembed], axis=-1)
+    x = L.conv1d_seq(params["feature_conv1"], x, "tanh", padding="valid")
+    x = L.conv1d_seq(params["feature_conv2"], x, "tanh", padding="valid")
+    x = L.dense(params["feature_dense1"], x, "tanh")
+    return L.dense(params["feature_dense2"], x, "tanh")
+
+
+def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
+                     lpc=None, rng=None, training: bool = True,
+                     gru_states=None):
+    """Full training graph.
+
+    Args:
+      sig_in: [B, T] linear signal input (the target delayed by one sample,
+        as produced by the data pipeline -- dump_data writes (in, out) pairs).
+      features: [B, Tf, 20] with Tf = T//160 + 4 (conv context).
+      periods: [B, Tf] int32 pitch indices.
+      lpc: [B, T//160, 16] (required unless cfg.e2e).
+      rng: PRNGKey for the Gaussian noise regularizers (training only).
+      gru_states: optional (h_a [B, Na], h_b [B, Nb]) for stateful TBPTT.
+
+    Returns dict with pdf [B, T, 256], tensor_preds, real_preds, cfeat, rc,
+    and new gru states.
+    """
+    from ..nn import layers as L
+    from ..train import losses as LL
+
+    b, t = sig_in.shape
+    cfeat = frame_network_seq(params, features, periods, cfg)   # [B, T/160, C]
+    if cfg.e2e:
+        rc = cfeat[..., :LPC_ORDER]
+        lpc = lpc_mod.rc2lpc(rc)
+    else:
+        rc = None
+        assert lpc is not None
+
+    weighting = jnp.power(jnp.float32(cfg.lpc_gamma),
+                          jnp.arange(1, LPC_ORDER + 1, dtype=jnp.float32))
+    real_preds = LL.diff_pred(sig_in, lpc, cfg.frame_size)
+    tensor_preds = LL.diff_pred(sig_in, lpc * weighting, cfg.frame_size)
+    past_errors = LL.tf_l2u(sig_in - jnp.roll(tensor_preds, 1, axis=-1))
+
+    cpcm = jnp.stack([LL.tf_l2u(sig_in), LL.tf_l2u(tensor_preds), past_errors],
+                     axis=-1)                                    # [B, T, 3]
+    if training and rng is not None:
+        rng, k1, k2 = jax.random.split(rng, 3)
+        cpcm = cpcm + 0.3 * jax.random.normal(k1, cpcm.shape)
+    emb = diff_embed(params["embed_sig"]["table"], cpcm)         # [B,T,3,128]
+    emb = emb.reshape(b, t, 3 * EMBED_SIZE)
+
+    rep = jnp.repeat(cfeat, cfg.frame_size, axis=-2)             # [B, T, C]
+    rnn_in = jnp.concatenate([emb, rep], axis=-1)
+    h_a0 = gru_states[0] if gru_states is not None else None
+    h_b0 = gru_states[1] if gru_states is not None else None
+    gru1, h_a = L.gru_seq(params["gru_a"], rnn_in, h0=h_a0,
+                          precision=jax.lax.Precision.DEFAULT)
+    if training and rng is not None:
+        gru1 = gru1 + 0.005 * jax.random.normal(k2, gru1.shape)
+    gru2, h_b = L.gru_seq(params["gru_b"],
+                          jnp.concatenate([gru1, rep], axis=-1), h0=h_b0,
+                          precision=jax.lax.Precision.DEFAULT)
+    p = L.mdense(params["dual_fc"], gru2, "sigmoid")
+    pdf = LL.tree_to_pdf(p)
+    return {"pdf": pdf, "tensor_preds": tensor_preds, "real_preds": real_preds,
+            "cfeat": cfeat, "rc": rc, "gru_states": (h_a, h_b)}

@@ -1,0 +1,92 @@
+"""Training data pipeline: memmap'd features/PCM chunking + shuffling.
+
+Mirrors training_tf2/dataloader.py + the slicing in train_lpcnet.py:161-182:
+the feature file holds 36-float rows (20 used + 16 LPC); the data file holds
+interleaved (sig_in, sig_out) int16 pairs produced by the dump_data
+augmentation pipeline (ours: lpcnet_tpu.train.dump_data / the native
+runtime). Chunks are 15 frames with 4 context frames of features.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+
+from ..dsp.constants import LPC_ORDER, NB_TOTAL_FEATURES
+
+FRAME = 160
+
+
+def lpc2rc_np(lpc: np.ndarray) -> np.ndarray:
+    """LPC -> reflection coefficients (training_tf2/dataloader.py:5-13)."""
+    lpc = np.array(lpc, np.float32, copy=True)
+    order = lpc.shape[-1]
+    rc = np.zeros_like(lpc)
+    for i in range(order, 0, -1):
+        rc[..., i - 1] = lpc[..., -1]
+        ki = rc[..., i - 1: i]
+        lpc = (lpc[..., :-1] - ki * lpc[..., -2::-1]) / (1 - ki * ki)
+    return rc
+
+
+class LPCNetLoader:
+    """Shuffled chunk loader over memmap'd training files."""
+
+    def __init__(self, pcm_path: str, feature_path: str, batch_size: int = 128,
+                 chunk_frames: int = 15, lookahead: int = 2, e2e: bool = False,
+                 seed: int = 0):
+        self.batch_size = batch_size
+        self.lookahead = lookahead
+        self.e2e = e2e
+        self.chunk_frames = chunk_frames
+        pcm_chunk = FRAME * chunk_frames
+
+        data = np.memmap(pcm_path, dtype="int16", mode="r")
+        nb_frames = (len(data) // (2 * pcm_chunk) - 1) // batch_size * batch_size
+        features = np.memmap(feature_path, dtype="float32", mode="r")
+
+        data = data[(4 - lookahead) * 2 * FRAME:]
+        data = data[: nb_frames * 2 * pcm_chunk]
+        self.data = np.reshape(data, (nb_frames, pcm_chunk, 2))
+
+        sizeof = features.strides[-1]
+        nf = NB_TOTAL_FEATURES
+        self.features = np.lib.stride_tricks.as_strided(
+            features, shape=(nb_frames, chunk_frames + 4, nf),
+            strides=(chunk_frames * nf * sizeof, nf * sizeof, sizeof))
+        self.periods = (0.1 + 50.0 * self.features[:, :, 18:19] + 100).astype("int16")
+        self.nb_batches = nb_frames // batch_size
+        self._rng = np.random.RandomState(seed)
+        self.on_epoch_end()
+
+    def on_epoch_end(self):
+        self.indices = np.arange(self.nb_batches * self.batch_size)
+        self._rng.shuffle(self.indices)
+
+    def __len__(self):
+        return self.nb_batches
+
+    def __getitem__(self, index) -> Dict[str, np.ndarray]:
+        sel = self.indices[index * self.batch_size:(index + 1) * self.batch_size]
+        data = self.data[sel]
+        feats = self.features[sel]
+        out = {
+            "sig_in": data[:, :, 0].astype(np.float32),
+            "sig_out": data[:, :, 1].astype(np.float32),
+            "features": np.ascontiguousarray(feats[:, :, :20]).astype(np.float32),
+            "periods": np.clip(self.periods[sel][:, :, 0], 0, 255).astype(np.int32),
+        }
+        la = self.lookahead
+        lpc = (self.features[sel][:, 4 - la: -la if la else None, 20:20 + LPC_ORDER]
+               if la > 0 else self.features[sel][:, 4:, 20:20 + LPC_ORDER])
+        lpc = np.ascontiguousarray(lpc).astype(np.float32)
+        if self.e2e:
+            out["rc"] = lpc2rc_np(lpc)
+        else:
+            out["lpc"] = lpc
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for i in range(len(self)):
+            yield self[i]

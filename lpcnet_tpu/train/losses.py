@@ -1,0 +1,98 @@
+"""Training losses/metrics for the vocoder (mirrors training_tf2/lossfuncs.py
+and tf_funcs.py): differentiable u-law, LPC prediction, bit-tree pdf, CE."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LOG256 = jnp.log(256.0)
+_SCALE = 255.0 / 32768.0
+_SCALE_1 = 32768.0 / 255.0
+
+
+def tf_l2u(x):
+    """Differentiable linear -> u-law (tf_funcs.py:14-19), float output."""
+    s = jnp.sign(x)
+    u = s * (128.0 * jnp.log1p(_SCALE * jnp.abs(x)) / LOG256)
+    return jnp.clip(128.0 + u, 0.0, 255.0)
+
+
+def tf_u2l(u):
+    u = jnp.asarray(u, jnp.float32) - 128.0
+    return jnp.sign(u) * _SCALE_1 * (jnp.exp(jnp.abs(u) / 128.0 * LOG256) - 1.0)
+
+
+def diff_pred(x, lpc, frame_size: int = 160):
+    """Differentiable LPC prediction (tf_funcs.py:31-42).
+
+    Args:
+      x: [B, T] signal.
+      lpc: [B, T // frame_size, 16] per-frame coefficients.
+    Returns pred [B, T]: pred[t] = -sum_i lpc[t//160, i] * x[t - i]
+    (note: taps start at lag 0, matching the reference's alignment where the
+    signal input is already one sample behind the target).
+    """
+    order = lpc.shape[-1]
+    lpc_rep = jnp.repeat(lpc, frame_size, axis=-2)          # [B, T, 16]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(order, 0)])
+    # windows[t, i] = x[t - i] = xp[t + order - i]
+    t_idx = jnp.arange(x.shape[-1])[:, None]
+    i_idx = jnp.arange(order)[None, :]
+    wins = xp[..., t_idx + order - i_idx]                   # [B, T, 16]
+    return -jnp.einsum("...ti,...ti->...t", lpc_rep, wins,
+                       precision=jax.lax.Precision.HIGHEST)
+
+
+def tree_to_pdf(p):
+    """[..., 256] sigmoid bit-tree outputs -> [..., 256] pdf
+    (training_tf2/lpcnet.py:50-58); unit 0 is unused."""
+    idx = jnp.arange(256)
+    pdf = jnp.ones(p.shape, p.dtype)
+    for b in range(8):
+        node = (idx >> (8 - b)) + (1 << b)     # tree nodes at level b
+        bit = (idx >> (7 - b)) & 1
+        pb = p[..., node]
+        pdf = pdf * jnp.where(bit == 1, pb, 1.0 - pb)
+    return pdf
+
+
+def sparse_cat_ce(labels, probs, eps: float = 1e-7):
+    """-log(p[label]) like Keras SparseCategoricalCrossentropy on probs."""
+    p = jnp.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]
+    return -jnp.log(jnp.clip(p, eps, 1.0))
+
+
+def metric_cel(sig_out, tensor_preds, pdf):
+    """Rounded u-law CE on the LPC residual (lossfuncs.py:74-83)."""
+    e_gt = tf_l2u(sig_out - tensor_preds)
+    e_gt = jnp.clip(jnp.round(e_gt).astype(jnp.int32), 0, 255)
+    return sparse_cat_ce(e_gt, pdf)
+
+
+def interp_mulaw_loss(sig_out, tensor_preds, real_preds, pdf, gamma: float = 2.0):
+    """Interpolated u-law CE + probability compensation for e2e training
+    (lossfuncs.py:25-43)."""
+    e_gt = tf_l2u(sig_out - tensor_preds)
+    exc_gt = tf_l2u(sig_out - real_preds)
+    prob_comp = jnp.abs(e_gt - 128.0) / 128.0 * LOG256
+    regularization = jnp.abs(exc_gt - 128.0) / 128.0 * LOG256
+    alpha = e_gt - jnp.floor(e_gt)
+    ei = jnp.clip(e_gt.astype(jnp.int32), 0, 254)
+    p0 = jnp.take_along_axis(pdf, ei[..., None], axis=-1)[..., 0]
+    p1 = jnp.take_along_axis(pdf, (ei + 1)[..., None], axis=-1)[..., 0]
+    interp = (1.0 - alpha) * p0 + alpha * p1
+    ce = -jnp.log(jnp.clip(interp, 1e-7, 1.0))
+    return ce + prob_comp + gamma * regularization
+
+
+def metric_exc_sd(sig_out, tensor_preds):
+    e_gt = tf_l2u(sig_out - tensor_preds)
+    return (e_gt - 128.0) ** 2
+
+
+def loss_matchlar(rc_true, rc_model):
+    """LAR matching loss for the e2e RC head (lossfuncs.py:92-99)."""
+    def lar(x):
+        return jnp.log((1.01 + x) / (1.01 - x))
+    return jnp.mean((lar(rc_model) - lar(rc_true)) ** 2, axis=-1)

@@ -1,0 +1,172 @@
+"""LPCNet vocoder training: loss, jitted DP train step, and driver.
+
+Mirrors training_tf2/train_lpcnet.py: Adam(beta1=.5, beta2=.8) with the
+Keras-legacy 1/(1+decay*t) schedule, 15-frame truncated-BPTT chunks,
+progressive sparsification of GRU-A's recurrent weights and GRU-B's input
+weights, optional quantization fine-tuning, weight-clip constraints.
+
+Parallelism: batch sharded over a 1-D device mesh (data parallelism -- the
+reference's only strategy); parameters replicated; XLA inserts the psum over
+ICI. The whole step, including the sparsify transform, runs jitted on
+device -- no get_weights/set_weights host round trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import lpcnet as M
+from ..parallel import mesh as pmesh
+from . import losses as LL
+from .sparsify import SparsifySchedule, apply_schedules, weight_clip_constraint
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 128
+    chunk_frames: int = 15
+    lr: float = 1e-3
+    decay: float = 5e-5
+    beta1: float = 0.5
+    beta2: float = 0.8
+    epochs: int = 120
+    lookahead: int = 2
+    quantize: bool = False
+    gamma: float = 2.0            # e2e u-law compensation
+    density: Tuple[float, float, float] = (0.05, 0.05, 0.2)
+    grub_density: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+    @property
+    def chunk_samples(self) -> int:
+        return self.chunk_frames * 160
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(tc: TrainConfig):
+    if tc.quantize:
+        lr, decay = 3e-5, 0.0
+    else:
+        lr, decay = tc.lr, tc.decay
+    schedule = lambda t: lr / (1.0 + decay * t)
+    return optax.adam(schedule, b1=tc.beta1, b2=tc.beta2, eps=1e-7)
+
+
+def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng):
+    out = M.training_forward(
+        params, cfg, batch["sig_in"], batch["features"], batch["periods"],
+        lpc=batch.get("lpc"), rng=rng, training=True)
+    if cfg.e2e:
+        ce = LL.interp_mulaw_loss(batch["sig_out"], out["tensor_preds"],
+                                  out["real_preds"], out["pdf"], tc.gamma)
+        lar = LL.loss_matchlar(batch["rc"], out["rc"])
+        loss = jnp.mean(ce) + 2.0 * jnp.mean(lar)
+    else:
+        loss = jnp.mean(LL.metric_cel(batch["sig_out"], out["tensor_preds"], out["pdf"]))
+    metrics = {
+        "loss": loss,
+        "cel": jnp.mean(LL.metric_cel(batch["sig_out"], out["tensor_preds"], out["pdf"])),
+        "exc_sd": jnp.mean(LL.metric_exc_sd(batch["sig_out"], out["tensor_preds"])),
+    }
+    return loss, metrics
+
+
+def apply_constraints(params):
+    """Keras-constraint equivalents applied after each update
+    (training_tf2/lpcnet.py:286-294): WeightClip(0.992) on GRU-A recurrent
+    and GRU-B kernel+recurrent."""
+    params = dict(params)
+    params["gru_a"] = dict(params["gru_a"],
+                           recurrent=weight_clip_constraint(params["gru_a"]["recurrent"]))
+    params["gru_b"] = dict(params["gru_b"],
+                           kernel=weight_clip_constraint(params["gru_b"]["kernel"]),
+                           recurrent=weight_clip_constraint(params["gru_b"]["recurrent"]))
+    return params
+
+
+def make_train_step(cfg: M.LPCNetConfig, tc: TrainConfig, optimizer,
+                    sched_a: SparsifySchedule, sched_b: SparsifySchedule):
+    """Build the jitted DP train step. Sparsification runs inside jit on a
+    lax.cond gated by the schedule's interval arithmetic."""
+
+    def step_fn(state: TrainState, batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, tc, batch, rng), has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        params = apply_constraints(params)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step_fn
+
+
+class Trainer:
+    """End-to-end training driver with data-parallel sharding."""
+
+    def __init__(self, cfg: Optional[M.LPCNetConfig] = None,
+                 tc: Optional[TrainConfig] = None, seed: int = 0,
+                 mesh=None):
+        self.cfg = cfg or M.LPCNetConfig()
+        self.tc = tc or TrainConfig()
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        self.optimizer = make_optimizer(self.tc)
+        params = M.init_params(jax.random.PRNGKey(seed), self.cfg)
+        self.state = TrainState(params, self.optimizer.init(params),
+                                jnp.zeros((), jnp.int32))
+        if self.tc.quantize:
+            self.sched_a = SparsifySchedule.quantize_finetune(self.tc.density)
+            self.sched_b = SparsifySchedule.quantize_finetune(self.tc.grub_density)
+        else:
+            self.sched_a = SparsifySchedule.from_scratch_gru_a(self.tc.density)
+            self.sched_b = SparsifySchedule.from_scratch_gru_b(self.tc.grub_density)
+        step = make_train_step(self.cfg, self.tc, self.optimizer,
+                               self.sched_a, self.sched_b)
+        # GSPMD: state replicated, batch sharded on the data axis; shardings
+        # propagate from the placed arguments through jit.
+        self._step = jax.jit(step, donate_argnums=(0,))
+        self.state = jax.device_put(self.state, pmesh.replicated(self.mesh))
+        self._host_step = 0
+
+    def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
+        batch = pmesh.shard_batch(self.mesh, {
+            k: jnp.asarray(v) for k, v in batch.items()})
+        self.state, metrics = self._step(self.state, batch, rng)
+        self._host_step += 1
+        # host-side schedule gating (interval arithmetic on python ints),
+        # transform itself runs jitted on device
+        if self.sched_a.active(self._host_step) or self.sched_b.active(self._host_step):
+            params = apply_schedules(self.state.params, self._host_step,
+                                     self.sched_a, self.sched_b,
+                                     self.cfg.rnn_units1)
+            self.state = TrainState(params, self.state.opt_state, self.state.step)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def fit(self, loader, epochs: Optional[int] = None, log_every: int = 50,
+            checkpoint_path: Optional[str] = None):
+        from ..weights.checkpoint import save_checkpoint
+        rng = jax.random.PRNGKey(123)
+        epochs = epochs or self.tc.epochs
+        for epoch in range(epochs):
+            for i, batch in enumerate(loader):
+                rng, sub = jax.random.split(rng)
+                metrics = self.train_step(batch, sub)
+                if i % log_every == 0:
+                    msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                    print(f"epoch {epoch} step {i}: {msg}", flush=True)
+            if checkpoint_path:
+                save_checkpoint(f"{checkpoint_path}_{epoch + 1:02d}.npz",
+                                jax.device_get(self.state.params), self.cfg)
+            if hasattr(loader, "on_epoch_end"):
+                loader.on_epoch_end()
+        return self.state

@@ -1,0 +1,112 @@
+"""Training-graph tests: loss decreases, sparsify structure, DP sharding."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lpcnet_tpu.models import lpcnet as M
+from lpcnet_tpu.train import losses as LL
+from lpcnet_tpu.train.sparsify import (
+    SparsifySchedule,
+    sparsify_gru_a_recurrent,
+    weight_clip_constraint,
+)
+from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer
+from lpcnet_tpu.parallel import mesh as pmesh
+
+
+def tiny_cfg():
+    return M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=16,
+                          pitch_embed_dim=8)
+
+
+def fake_batch(rng, b=4, frames=5):
+    t = frames * 160
+    sig = np.cumsum(rng.randn(b, t + 1), axis=1).astype(np.float32) * 100
+    return {
+        "sig_in": sig[:, :-1],
+        "sig_out": sig[:, 1:],
+        "features": rng.randn(b, frames + 4, 20).astype(np.float32) * 0.3,
+        "periods": rng.randint(33, 255, (b, frames + 4)).astype(np.int32),
+        "lpc": (rng.randn(b, frames, 16) * 0.05).astype(np.float32),
+    }
+
+
+def test_tree_to_pdf_normalized():
+    rng = np.random.RandomState(0)
+    p = jax.nn.sigmoid(jnp.asarray(rng.randn(3, 7, 256), jnp.float32))
+    pdf = LL.tree_to_pdf(p)
+    np.testing.assert_allclose(np.asarray(jnp.sum(pdf, -1)), 1.0, rtol=1e-5)
+    assert float(jnp.min(pdf)) >= 0.0
+
+
+def test_diff_pred_matches_definition():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 320).astype(np.float32)
+    lpc = rng.randn(2, 2, 16).astype(np.float32) * 0.1
+    pred = np.asarray(LL.diff_pred(jnp.asarray(x), jnp.asarray(lpc)))
+    # manual at a few positions
+    for b in (0, 1):
+        for t in (0, 5, 159, 160, 300):
+            fr = t // 160
+            acc = 0.0
+            for i in range(16):
+                if t - i >= 0:
+                    acc -= lpc[b, fr, i] * x[b, t - i]
+            np.testing.assert_allclose(pred[b, t], acc, rtol=1e-4, atol=1e-4)
+
+
+def test_training_loss_decreases():
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=4, chunk_frames=5)
+    mesh = pmesh.make_mesh(jax.devices("cpu")[:1])
+    tr = Trainer(cfg, tc, mesh=mesh)
+    rng = np.random.RandomState(0)
+    batch = fake_batch(rng)
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        m = tr.train_step(batch, sub)
+        losses.append(m["loss"])
+    assert losses[-1] < losses[0] - 0.1, losses[::10]
+    assert np.isfinite(losses).all()
+
+
+def test_training_multidevice_sharded():
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=8, chunk_frames=3)
+    devs = jax.devices("cpu")
+    if len(devs) < 2:
+        pytest.skip("needs multiple cpu devices")
+    mesh = pmesh.make_mesh(devs[:8])
+    tr = Trainer(cfg, tc, mesh=mesh)
+    batch = fake_batch(np.random.RandomState(2), b=8, frames=3)
+    m = tr.train_step(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(m["loss"])
+
+
+def test_sparsify_structure():
+    rng = np.random.RandomState(3)
+    n = 32
+    w = jnp.asarray(rng.randn(n, 3 * n).astype(np.float32))
+    sched = SparsifySchedule(0, 10, 1, (0.1, 0.1, 0.2))
+    out = np.asarray(sparsify_gru_a_recurrent(w, sched, step=100))
+    for k in range(3):
+        a = out[:, k * n:(k + 1) * n]
+        # diagonal survives
+        assert np.all(np.abs(np.diag(a)) > 0)
+        offdiag = a - np.diag(np.diag(a))
+        density = np.mean(offdiag != 0)
+        assert density < 0.45, density
+
+
+def test_weight_clip():
+    rng = np.random.RandomState(4)
+    w = jnp.asarray(rng.randn(8, 24).astype(np.float32) * 3)
+    c = 0.992
+    out = np.asarray(weight_clip_constraint(w, c))
+    pair = np.abs(out[:, 0::2]) + np.abs(out[:, 1::2])
+    assert np.all(pair <= 2 * c + 1e-5)
