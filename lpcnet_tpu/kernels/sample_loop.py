@@ -1,0 +1,261 @@
+"""Fused autoregressive sample loop as a single Pallas TPU kernel.
+
+This is the TPU answer to the reference's hand-SIMD'd per-sample loop
+(lpcnet_synthesize_tail_impl, src/lpcnet.c:235-271 + sparse GEMV kernels in
+src/vec_avx.h): instead of one stream stepping 160 tiny GEMVs through L1
+cache, a batch tile of streams steps together with every weight matrix
+resident in VMEM, so each of the 160 dependent steps is a handful of
+well-shaped MXU matmuls:
+
+* the three u-law embedding lookups become one [BT, 768] one-hot times
+  [768, 3Na] matmul (gather-as-matmul -- data-dependent row gathers don't
+  vectorize on TPU, one-hot contractions do);
+* GRU-A's recurrent update is [BT, Na] x [Na, 3Na];
+* the dual-FC bit-tree sampler gathers its per-stream row pair the same
+  one-hot way from an augmented [256, 36] table (w0|w1|b0|b1|f0|f1);
+* per-stream KISS99 RNG state advances in uint32 vector registers,
+  bit-compatible with the C decoder's sampling thresholds.
+
+The kernel processes the whole 10 ms frame (160 steps) per invocation, so
+dispatch overhead is amortized 160x compared with the lax.scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dsp.constants import LPC_ORDER, PREEMPHASIS
+from ..models.lpcnet import LPCNetConfig, SampleState, _logit_table
+from ..utils.rng import Kiss99State
+
+LOG256 = 5.5451774445
+_SCALE = 255.0 / 32768.0
+_SCALE_1 = 32768.0 / 255.0
+
+BT = 128  # batch tile (streams per grid step)
+
+# CPU tests run the kernel in interpreter mode
+_INTERPRET = bool(__import__("os").environ.get("LPCNET_PALLAS_INTERPRET"))
+
+
+def kernel_weights(fused, cfg: LPCNetConfig):
+    """Precompute the kernel-layout weight bundle from fused params."""
+    na, nb = cfg.rnn_units1, cfg.rnn_units2
+    emb_cat = jnp.concatenate(
+        [fused["embed_sig_a"], fused["embed_pred_a"], fused["embed_exc_a"]],
+        axis=0).astype(jnp.float32)                     # [768, 3Na]
+    dk = fused["dual_fc"]["kernel"]                     # [nb, 256, 2]
+    dual_aug = jnp.concatenate([
+        dk[:, :, 0].T, dk[:, :, 1].T,                   # [256, nb] x2
+        fused["dual_fc"]["bias"],                       # [256, 2]
+        fused["dual_fc"]["factor"],                     # [256, 2]
+    ], axis=1).astype(jnp.float32)                      # [256, 2nb+4]
+    return {
+        "emb_cat": emb_cat,
+        "a_rec": fused["gru_a_rec"]["recurrent"].astype(jnp.float32),
+        "a_bias1": fused["gru_a_rec"]["bias"][1][None, :].astype(jnp.float32),
+        "b_in": fused["gru_b_in"].astype(jnp.float32),
+        "b_rec": fused["gru_b_rec"]["recurrent"].astype(jnp.float32),
+        "b_bias1": fused["gru_b_rec"]["bias"][1][None, :].astype(jnp.float32),
+        "dual_aug": dual_aug,
+        "logit_table": jnp.asarray(_logit_table())[:, None],  # [256, 1]
+    }
+
+
+def _lin2ulaw(x):
+    """Matches dsp.mulaw.lin2ulaw (exact log variant)."""
+    s = jnp.where(x >= 0, 1.0, -1.0)
+    logv = 0.69315 * jnp.log2(1.0 + _SCALE * jnp.abs(x))
+    u = jnp.clip(128.0 + s * (128.0 * logv / LOG256), 0.0, 255.0)
+    return jnp.floor(0.5 + u).astype(jnp.int32)
+
+
+def _ulaw2lin(u):
+    u = u.astype(jnp.float32) - 128.0
+    s = jnp.where(u >= 0, 1.0, -1.0)
+    return s * _SCALE_1 * (jnp.exp(jnp.abs(u) / 128.0 * LOG256) - 1.0)
+
+
+def _kiss99(z, w, jsr, jcong):
+    u16 = jnp.uint32(0xFFFF)
+    znew = jnp.uint32(36969) * (z & u16) + (z >> 16)
+    wnew = jnp.uint32(18000) * (w & u16) + (w >> 16)
+    mwc = (znew << 16) + wnew
+    shr3 = jsr ^ (jsr << 13)
+    shr3 = shr3 ^ (shr3 >> 17)
+    shr3 = shr3 ^ (shr3 << 5)
+    cong = jnp.uint32(69069) * jcong + jnp.uint32(1234567)
+    return (mwc ^ cong) + shr3, znew, wnew, shr3, cong
+
+
+def _onehot(idx, n):
+    """idx [BT, 1] int32 -> [BT, n] f32 one-hot."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
+    return (lanes == idx).astype(jnp.float32)
+
+
+def _sample_kernel(n_samples, na, nb,
+                   # inputs
+                   emb_ref, arec_ref, abias_ref, bin_ref, brec_ref, bbias_ref,
+                   dual_ref, table_ref,
+                   conda_ref, condb_ref, lpc_ref,
+                   ha_in, hb_in, sig_in, exc_in, de_in, rng_in,
+                   # outputs
+                   ha_out, hb_out, sig_out, exc_out, de_out, rng_out,
+                   pcm_out):
+    ha_out[:] = ha_in[:]
+    hb_out[:] = hb_in[:]
+    sig_out[:] = sig_in[:]
+    exc_out[:] = exc_in[:]
+    de_out[:] = de_in[:]
+    rng_out[:] = rng_in[:]
+
+    def step(t, _):
+        last_sig = sig_out[:]                     # [BT, 16]
+        lpc = lpc_ref[:]
+        pred = -jnp.sum(last_sig * lpc, axis=1, keepdims=True)   # [BT, 1]
+        sig_u = _lin2ulaw(last_sig[:, 0:1])
+        pred_u = _lin2ulaw(pred)
+        exc_u = exc_out[:]                        # [BT, 1] int32
+
+        oh = jnp.concatenate([
+            _onehot(sig_u, 256), _onehot(pred_u, 256), _onehot(exc_u, 256),
+        ], axis=1)                                # [BT, 768]
+        gate_a = conda_ref[:] + jnp.dot(oh, emb_ref[:],
+                                        preferred_element_type=jnp.float32)
+        h_a = ha_out[:]
+        zrec = jnp.dot(h_a, arec_ref[:], preferred_element_type=jnp.float32) + abias_ref[:]
+        z = jax.nn.sigmoid(gate_a[:, :na] + zrec[:, :na])
+        r = jax.nn.sigmoid(gate_a[:, na:2 * na] + zrec[:, na:2 * na])
+        hc = jnp.tanh(gate_a[:, 2 * na:] + r * zrec[:, 2 * na:])
+        h_a = z * h_a + (1.0 - z) * hc
+        ha_out[:] = h_a
+
+        gate_b = condb_ref[:] + jnp.dot(h_a, bin_ref[:],
+                                        preferred_element_type=jnp.float32)
+        h_b = hb_out[:]
+        zrec_b = jnp.dot(h_b, brec_ref[:], preferred_element_type=jnp.float32) + bbias_ref[:]
+        zb = jax.nn.sigmoid(gate_b[:, :nb] + zrec_b[:, :nb])
+        rb = jax.nn.sigmoid(gate_b[:, nb:2 * nb] + zrec_b[:, nb:2 * nb])
+        hcb = jnp.tanh(gate_b[:, 2 * nb:] + rb * zrec_b[:, 2 * nb:])
+        h_b = zb * h_b + (1.0 - zb) * hcb
+        hb_out[:] = h_b
+
+        # --- bit-tree sampling ------------------------------------------
+        z0 = rng_out[:, 0:1]
+        w0 = rng_out[:, 1:2]
+        j0 = rng_out[:, 2:3]
+        c0 = rng_out[:, 3:4]
+        r1, z0, w0, j0, c0 = _kiss99(z0, w0, j0, c0)
+        r2, z0, w0, j0, c0 = _kiss99(z0, w0, j0, c0)
+        rng_out[:, 0:1] = z0
+        rng_out[:, 1:2] = w0
+        rng_out[:, 2:3] = j0
+        rng_out[:, 3:4] = c0
+        bytes_ = [(r1 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)] + \
+                 [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
+
+        val = jnp.zeros_like(exc_u)
+        for b in range(8):
+            rows = (1 << b) | val
+            sel = jnp.dot(_onehot(rows, 256), dual_ref[:],
+                          preferred_element_type=jnp.float32)   # [BT, 2nb+4]
+            s0 = jnp.sum(sel[:, :nb] * h_b, axis=1, keepdims=True) + sel[:, 2 * nb:2 * nb + 1]
+            s1 = jnp.sum(sel[:, nb:2 * nb] * h_b, axis=1, keepdims=True) + sel[:, 2 * nb + 1:2 * nb + 2]
+            logit = (sel[:, 2 * nb + 2:2 * nb + 3] * jnp.tanh(s0)
+                     + sel[:, 2 * nb + 3:2 * nb + 4] * jnp.tanh(s1))
+            thr = jnp.dot(_onehot(bytes_[b].astype(jnp.int32), 256), table_ref[:],
+                          preferred_element_type=jnp.float32)   # [BT, 1]
+            bit = (thr < logit).astype(jnp.int32)
+            val = (val << 1) | bit
+
+        pcm = pred + _ulaw2lin(val)
+        exc_out[:] = val
+        sig_out[:] = jnp.concatenate([pcm, last_sig[:, :LPC_ORDER - 1]], axis=1)
+        out = pcm + PREEMPHASIS * de_out[:]
+        de_out[:] = out
+        out = jnp.clip(out, -32767.0, 32767.0)
+        pcm_out[:, pl.ds(t, 1)] = jnp.floor(0.5 + out)
+        return 0
+
+    jax.lax.fori_loop(0, n_samples, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
+                            cfg: LPCNetConfig, n_samples: int = 160
+                            ) -> Tuple[SampleState, jnp.ndarray]:
+    """Drop-in Pallas replacement for models.lpcnet.synthesize_frame
+    (free-running path; teacher forcing uses the scan path).
+
+    Args:
+      kw: kernel_weights(fused, cfg) bundle.
+      state: SampleState [B, ...]; B must be a multiple of BT (pad upstream).
+    Returns (new_state, pcm [B, n_samples]).
+    """
+    na, nb = cfg.rnn_units1, cfg.rnn_units2
+    b = cond_a.shape[0]
+    assert b % BT == 0, f"batch {b} must be a multiple of {BT}"
+    grid = (b // BT,)
+
+    rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr, state.rng.jcong],
+                    axis=1)                                # [B, 4] uint32
+    exc = state.last_exc[:, None].astype(jnp.int32)        # [B, 1]
+    de = state.deemph[:, None]
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def b_spec(cols, dtype=None):
+        return pl.BlockSpec((BT, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_sample_kernel, n_samples, na, nb)
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, na), jnp.float32),
+        jax.ShapeDtypeStruct((b, nb), jnp.float32),
+        jax.ShapeDtypeStruct((b, LPC_ORDER), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 4), jnp.uint32),
+        jax.ShapeDtypeStruct((b, n_samples), jnp.float32),
+    )
+    out_specs = (
+        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
+        b_spec(4), b_spec(n_samples),
+    )
+    in_specs = [
+        w_spec(kw["emb_cat"].shape), w_spec(kw["a_rec"].shape),
+        w_spec(kw["a_bias1"].shape), w_spec(kw["b_in"].shape),
+        w_spec(kw["b_rec"].shape), w_spec(kw["b_bias1"].shape),
+        w_spec(kw["dual_aug"].shape), w_spec(kw["logit_table"].shape),
+        b_spec(3 * na), b_spec(3 * nb), b_spec(LPC_ORDER),
+        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
+        b_spec(4),
+    ]
+
+    ha, hb, sig, exc2, de2, rng2, pcm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(kw["emb_cat"], kw["a_rec"], kw["a_bias1"], kw["b_in"], kw["b_rec"],
+      kw["b_bias1"], kw["dual_aug"], kw["logit_table"],
+      cond_a, cond_b, lpc, state.gru_a, state.gru_b, state.last_sig,
+      exc, de, rng)
+
+    new_state = SampleState(
+        gru_a=ha, gru_b=hb, last_sig=sig,
+        last_exc=exc2[:, 0], deemph=de2[:, 0],
+        rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
+    )
+    return new_state, pcm

@@ -1,0 +1,41 @@
+"""Pallas sample-loop kernel vs the lax.scan reference path (interpret mode
+on CPU; the real-TPU run is exercised by bench.py and /verify)."""
+
+import os
+
+os.environ["LPCNET_PALLAS_INTERPRET"] = "1"
+
+import numpy as np
+import jax
+
+from lpcnet_tpu.kernels import sample_loop as K
+from lpcnet_tpu.models import lpcnet as M
+
+
+def test_pallas_matches_scan():
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    kw = K.kernel_weights(fused, cfg)
+
+    b = K.BT
+    feats = jax.random.normal(jax.random.PRNGKey(7), (b, 36)) * 0.3
+
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+
+    s0 = M.init_sample_state(b, cfg)
+    n = 32
+    s_scan, pcm_scan = M.synthesize_frame(fused, s0, ca, cb, lpc, n_samples=n)
+    s_pal, pcm_pal = K.synthesize_frame_pallas(kw, s0, ca, cb, lpc, cfg,
+                                               n_samples=n)
+
+    pcm_scan = np.asarray(pcm_scan)
+    pcm_pal = np.asarray(pcm_pal)
+    # identical RNG + identical math ordering up to float reassociation:
+    # demand overwhelming exact agreement and tiny divergence elsewhere
+    same = np.mean(pcm_scan == pcm_pal)
+    assert same > 0.98, f"sample agreement only {same}"
+    np.testing.assert_allclose(np.asarray(s_pal.gru_a),
+                               np.asarray(s_scan.gru_a), atol=2e-2)
+    assert np.array_equal(np.asarray(s_pal.rng.z), np.asarray(s_scan.rng.z))
