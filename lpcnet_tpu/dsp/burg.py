@@ -142,8 +142,8 @@ def _burg_half_frame_jax(x, order=LPC_ORDER, min_inv_gain=1e-3):
     n_samples = x.shape[-1]
     D = order
     C0 = jnp.dot(x, x)
-    ns = jnp.arange(1, D + 1)
-    C_first0 = jnp.stack([jnp.dot(x[: n_samples - int(n)], x[int(n):]) for n in ns])
+    C_first0 = jnp.stack(
+        [jnp.dot(x[: n_samples - n], x[n:]) for n in range(1, D + 1)])
     state = dict(
         C_first=C_first0,
         C_last=C_first0,

@@ -1,0 +1,88 @@
+"""PLC file driver mirroring lpcnet_demo -plc / -plc_file
+(src/lpcnet_demo.c:220-249): 20 ms packets (2 frames), one loss flag per
+packet from a pattern file or Bernoulli(percent)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..api import load_model
+from ..dsp.constants import FRAME_SIZE
+from ..models import plc as PM
+from .plc import (
+    LPCNET_PLC_CAUSAL,
+    LPCNET_PLC_DC_FILTER,
+    LPCNET_PLC_NONCAUSAL,
+    PLC,
+)
+
+_OPTION_MAP = {
+    "causal": LPCNET_PLC_CAUSAL,
+    "causal_dc": LPCNET_PLC_CAUSAL | LPCNET_PLC_DC_FILTER,
+    "noncausal": LPCNET_PLC_NONCAUSAL,
+    "noncausal_dc": LPCNET_PLC_NONCAUSAL | LPCNET_PLC_DC_FILTER,
+}
+
+
+def make_plc(options: str, model_path=None, batch: int = 1,
+             plc_model_path=None, seed: int = 0) -> PLC:
+    import jax
+
+    from ..models import lpcnet as M
+    flags = _OPTION_MAP[options]
+    noncausal = bool(flags & 0x1)
+    if model_path is None:
+        cfg = M.LPCNetConfig(lookahead=0) if noncausal else M.LPCNetConfig()
+        params = M.init_params(jax.random.PRNGKey(seed), cfg)
+        fused = M.fuse_inference_params(params, cfg)
+    else:
+        fused, cfg = load_model(model_path)
+        if noncausal and cfg.lookahead != 0:
+            raise ValueError("non-causal PLC requires a lookahead-0 model")
+    if plc_model_path is None:
+        plc_params = PM.init_params(jax.random.PRNGKey(seed + 1))
+    else:
+        from ..weights.checkpoint import load_checkpoint
+        plc_params, _ = load_checkpoint(plc_model_path)
+    return PLC(fused, cfg, plc_params, options=flags, batch=batch)
+
+
+def run_plc_stream(plc: PLC, pcm: np.ndarray, losses: np.ndarray) -> np.ndarray:
+    """pcm [N*160] single stream; losses: one 0/1 flag per 20 ms (2 frames).
+
+    Returns concealed output [N*160] (plus 5 ms tail for non-causal modes,
+    matching the demo's skip/extra handling)."""
+    n_frames = len(pcm) // FRAME_SIZE
+    skip = 80 if plc.non_causal else 0
+    out = []
+    loss = 0
+    for k in range(n_frames):
+        frame = pcm[k * FRAME_SIZE:(k + 1) * FRAME_SIZE].astype(np.float32)[None]
+        if k % 2 == 0:
+            loss = int(losses[k // 2]) if (k // 2) < len(losses) else 0
+        if loss:
+            res = plc.conceal()
+        else:
+            res = plc.update(frame)
+        res = res[0]
+        out.append(res[skip:])
+        skip = 0
+    if plc.non_causal:
+        out.append(plc.conceal()[0][:80])
+    return np.concatenate(out)
+
+
+def run_plc_file(options: str, percent_or_file: str, in_path: str,
+                 out_path: str, model_path=None):
+    pcm = np.fromfile(in_path, dtype=np.int16)
+    n_packets = len(pcm) // (2 * FRAME_SIZE) + 1
+    try:
+        percent = float(percent_or_file)
+        rng = np.random.RandomState(0)
+        losses = (rng.rand(n_packets) < percent / 100.0).astype(np.int32)
+    except ValueError:
+        losses = np.loadtxt(percent_or_file, dtype=np.int32).reshape(-1)
+    plc = make_plc(options, model_path=model_path)
+    out = run_plc_stream(plc, pcm, losses)
+    out.astype(np.int16).tofile(out_path)
+    print(f"plc: {len(pcm)//320} packets, {int(losses[:len(pcm)//320].sum())} lost")
