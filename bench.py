@@ -18,7 +18,7 @@ import numpy as np
 
 
 def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
-                    kernel: str = "auto"):
+                    kernel: str = "scan"):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +35,17 @@ def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(batch, 36).astype(np.float32) * 0.3)
 
-    step = jax.jit(lambda fs, ss, f: _synthesize_one_frame(fused, cfg, fs, ss, f))
+    if kernel == "pallas":
+        from lpcnet_tpu.kernels import sample_loop as K
+        kw = K.kernel_weights(fused, cfg)
+
+        @jax.jit
+        def step(fs, ss, f):
+            fs, _, ca, cb, lpc = M.frame_network(fused, fs, f, cfg)
+            ss, pcm = K.synthesize_frame_pallas(kw, ss, ca, cb, lpc, cfg)
+            return fs, ss, pcm
+    else:
+        step = jax.jit(lambda fs, ss, f: _synthesize_one_frame(fused, cfg, fs, ss, f))
 
     # warmup + state priming
     for _ in range(warmup_frames):
@@ -55,11 +65,21 @@ def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
 def main():
     batch = int(os.environ.get("LPCNET_BENCH_BATCH", "256"))
     n_frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
-    sps = bench_synthesis(batch, n_frames)
+    kernel = os.environ.get("LPCNET_BENCH_KERNEL", "pallas")
+    try:
+        sps = bench_synthesis(batch, n_frames, kernel=kernel)
+    except Exception as e:
+        if kernel == "pallas":
+            print(f"pallas path failed ({type(e).__name__}); falling back to scan",
+                  file=sys.stderr)
+            kernel = "scan"
+            sps = bench_synthesis(batch, n_frames, kernel=kernel)
+        else:
+            raise
     baseline = 256 * 16000.0   # 256 real-time 16 kHz streams per chip
     rtf = sps / batch / 16000.0
     result = {
-        "metric": f"synthesis_samples_per_sec_chip_b{batch}",
+        "metric": f"synthesis_samples_per_sec_chip_b{batch}_{kernel}",
         "value": round(sps, 1),
         "unit": "samples/s",
         "vs_baseline": round(sps / baseline, 4),

@@ -1,0 +1,3 @@
+"""DRED: deep redundancy coding (RDO-VAE latents piggybacked on packets)."""
+
+from . import coder  # noqa: F401

@@ -1,0 +1,140 @@
+"""RDO-VAE training: dataset, DP train step, driver.
+
+Mirrors torch/rdovae/train_rdovae.py: Adam(0.9, 0.99, eps=1e-8) with
+1/(1 + 2.5e-5 t) LR decay, per-sequence lambda sampled from the 16 quant
+levels (dataset.py:61-67), weight clipping at 0.496, loss =
+soft_rate + 0.1*hard_rate (sqrt(lambda)-weighted) + mean of hard/soft
+distortions over stride-congruent decoder chunks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import rdovae as RV
+from ..parallel import mesh as pmesh
+from .sparsify import weight_clip_constraint
+
+
+@dataclasses.dataclass(frozen=True)
+class RDOVAETrainConfig:
+    batch_size: int = 32
+    sequence_length: int = 256
+    lr: float = 3e-4
+    lr_decay: float = 2.5e-5
+    epochs: int = 100
+    lambda_min: float = 2e-4
+    lambda_max: float = 0.0104
+    weight_clip: float = 0.496
+
+
+class RDOVAEDataset:
+    """Feature-file dataset with per-sequence lambda/q sampling."""
+
+    def __init__(self, feature_path: str, tc: RDOVAETrainConfig,
+                 cfg: RV.RDOVAEConfig, num_features: int = 36, seed: int = 0):
+        feats = np.fromfile(feature_path, dtype=np.float32).reshape(-1, num_features)
+        self.features = feats[:, : cfg.num_features]
+        self.tc = tc
+        self.cfg = cfg
+        self.num_sequences = self.features.shape[0] // tc.sequence_length
+        self.denominator = (cfg.quant_levels - 1) / np.log(tc.lambda_max / tc.lambda_min)
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return max(self.num_sequences // self.tc.batch_size, 0)
+
+    def __iter__(self):
+        order = self._rng.permutation(self.num_sequences)
+        bs, sl = self.tc.batch_size, self.tc.sequence_length
+        for i in range(len(self)):
+            sel = order[i * bs:(i + 1) * bs]
+            feats = np.stack([self.features[s * sl:(s + 1) * sl] for s in sel])
+            q = self._rng.randint(0, self.cfg.quant_levels, (bs, 1))
+            q_ids = np.repeat(q, sl // self.cfg.enc_frames_per_step, axis=1)
+            lam = self.tc.lambda_min * np.exp(q_ids / self.denominator)
+            yield {"features": feats.astype(np.float32),
+                   "rate_lambda": lam.astype(np.float32),
+                   "q_ids": q_ids.astype(np.int32)}
+
+
+class RDOVAETrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def clip_rdovae_weights(params, c: float):
+    """Apply the pairwise weight clip to every 2-D kernel (torch
+    rdovae.py:201-223 clips Linear + GRU weights)."""
+    def clip(path_leaf):
+        return path_leaf
+
+    def walk(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = walk(v)
+            elif v.ndim == 2:
+                out[k] = weight_clip_constraint(v, c)
+            else:
+                out[k] = v
+        return out
+
+    return walk(params)
+
+
+class RDOVAETrainer:
+    def __init__(self, cfg: Optional[RV.RDOVAEConfig] = None,
+                 tc: Optional[RDOVAETrainConfig] = None, seed: int = 0,
+                 mesh=None):
+        self.cfg = cfg or RV.RDOVAEConfig()
+        self.tc = tc or RDOVAETrainConfig()
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh()
+        params = RV.init_params(jax.random.PRNGKey(seed), self.cfg)
+        sched = lambda t: self.tc.lr / (1.0 + self.tc.lr_decay * t)
+        self.optimizer = optax.adam(sched, b1=0.9, b2=0.99, eps=1e-8)
+        self.state = RDOVAETrainState(params, self.optimizer.init(params),
+                                      jnp.zeros((), jnp.int32))
+
+        def step_fn(state: RDOVAETrainState, batch, rng):
+            def loss(p):
+                return RV.rdovae_loss(p, batch["features"], batch["rate_lambda"],
+                                      batch["q_ids"], rng, self.cfg)
+            (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+            params = optax.apply_updates(state.params, updates)
+            params = clip_rdovae_weights(params, self.tc.weight_clip)
+            return RDOVAETrainState(params, opt_state, state.step + 1), metrics
+
+        self._step = jax.jit(step_fn, donate_argnums=(0,))
+        self.state = jax.device_put(self.state, pmesh.replicated(self.mesh))
+
+    def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
+        batch = pmesh.shard_batch(self.mesh, {k: jnp.asarray(v)
+                                              for k, v in batch.items()})
+        self.state, metrics = self._step(self.state, batch, rng)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def fit(self, loader, epochs: Optional[int] = None, log_every: int = 20,
+            checkpoint_path: Optional[str] = None):
+        from ..weights.checkpoint import flatten_tree
+        rng = jax.random.PRNGKey(42)
+        for epoch in range(epochs or self.tc.epochs):
+            for i, batch in enumerate(loader):
+                rng, sub = jax.random.split(rng)
+                m = self.train_step(batch, sub)
+                if i % log_every == 0:
+                    msg = " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                    print(f"rdovae epoch {epoch} step {i}: {msg}", flush=True)
+            if checkpoint_path:
+                flat = flatten_tree(jax.device_get(self.state.params))
+                np.savez(f"{checkpoint_path}_{epoch + 1:02d}.npz", **flat)
+        return self.state
