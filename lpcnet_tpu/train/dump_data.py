@@ -1,0 +1,157 @@
+"""Training-data generation: the dump_data augmentation pipeline.
+
+Port of the reference tool (src/dump_data.c:110-306) restructured for
+throughput: the sequential host-bound pieces (time-varying biquads, the
+noisy-excitation teacher loop) run in the native runtime; feature extraction
+runs as a batched lax.scan on device in big chunks.
+
+Produces the two training files consumed by train.data.LPCNetLoader:
+  features.f32 : 36 floats per 10 ms frame (20 used + 16 LPC)
+  data.s16     : interleaved (sig_in, sig_out) int16 pairs, 2 per sample
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..codec import features as F
+from ..dsp.constants import FRAME_SIZE, PREEMPHASIS, TRAINING_OFFSET
+from ..runtime import runtime
+
+HP_B = np.array([-2.0, 1.0], np.float32)
+HP_A = np.array([-1.99599, 0.99600], np.float32)
+GAIN_CHANGE_FRAMES = 2821
+
+
+class AugmentationState:
+    def __init__(self, seed: int = 0):
+        self.rng = np.random.RandomState(seed)
+        self.mem_hp = np.zeros(2, np.float32)
+        self.mem_resp = np.zeros(2, np.float32)
+        self.a_sig = np.zeros(2, np.float32)
+        self.b_sig = np.zeros(2, np.float32)
+        self.speech_gain = 1.0
+        self.old_speech_gain = 1.0
+        self.noise_std = 0.0
+        self.gain_change_count = 0
+
+    def maybe_change(self):
+        """Random gain / filter / noise refresh (src/dump_data.c:246-257)."""
+        self.gain_change_count += 1
+        if self.gain_change_count > GAIN_CHANGE_FRAMES:
+            r = self.rng
+            self.speech_gain = 10.0 ** ((-30 + r.randint(40)) / 20.0)
+            if r.randint(2):
+                self.speech_gain = -self.speech_gain
+            if r.randint(20) == 0:
+                self.speech_gain *= 0.01
+            if r.randint(100) == 0:
+                self.speech_gain = 0.0
+            self.gain_change_count = 0
+            self.a_sig = (0.75 * (r.rand(2) - 0.5)).astype(np.float32)
+            self.b_sig = (0.75 * (r.rand(2) - 0.5)).astype(np.float32)
+            t1, t2 = r.rand(), r.rand()
+            self.noise_std = abs(-1.5 * np.log(1e-4 + t1) - 0.5 * np.log(1e-4 + t2))
+
+    def process_frame(self, frame: np.ndarray) -> np.ndarray:
+        """HP filter + random response + gain ramp for one 160-sample frame."""
+        self.maybe_change()
+        x = runtime.biquad(frame.astype(np.float32), HP_B, HP_A, self.mem_hp)
+        x = runtime.biquad(x, self.b_sig, self.a_sig, self.mem_resp)
+        f = np.arange(FRAME_SIZE, dtype=np.float32) / FRAME_SIZE
+        g = f * self.speech_gain + (1 - f) * self.old_speech_gain
+        x = x * g
+        self.old_speech_gain = self.speech_gain
+        return x
+
+
+def dump_data(speech: np.ndarray, features_out: str, pcm_out: str | None = None,
+              seed: int = 0, chunk_frames: int = 400, burg: bool = False,
+              min_samples: int | None = None):
+    """Run the augmentation + feature pipeline over a speech array.
+
+    Args:
+      speech: int16 (or float) 16 kHz mono samples.
+      features_out: output path for 36-float feature rows.
+      pcm_out: output path for int16 (sig_in, sig_out) pairs; None = test
+        mode (features only, no augmentation noise loop).
+      min_samples: keep cycling through the input until this many samples
+        are processed (the reference loops the file; default one pass).
+    """
+    speech = np.asarray(speech)
+    n_total = len(speech) if min_samples is None else max(min_samples, len(speech))
+    n_frames_total = n_total // FRAME_SIZE
+
+    aug = AugmentationState(seed)
+    training = pcm_out is not None
+    rng = np.random.RandomState(seed + 1)
+    mem_preemph = np.zeros(1, np.float32)
+    sig_mem = np.zeros(16, np.float32)
+    exc_mem = np.zeros(1, np.int32)
+    pcm_carry = np.zeros(TRAINING_OFFSET, np.float32)
+
+    enc_state = F.init_encoder_state(1)
+    feat_fn = jax.jit(F.compute_single_frame_features_seq)
+
+    ffeat = open(features_out, "wb")
+    fpcm = open(pcm_out, "wb") if training else None
+    fburg = []
+
+    done = 0
+    src_pos = 0
+    while done < n_frames_total:
+        n = min(chunk_frames, n_frames_total - done)
+        # assemble n frames of source audio (cycling)
+        frames = np.empty((n, FRAME_SIZE), np.float32)
+        for k in range(n):
+            if src_pos + FRAME_SIZE > len(speech):
+                src_pos = 0
+            frames[k] = speech[src_pos: src_pos + FRAME_SIZE]
+            src_pos += FRAME_SIZE
+
+        noise_stds = np.empty(n, np.float32)
+        proc = np.empty_like(frames)
+        for k in range(n):
+            proc[k] = aug.process_frame(frames[k]) if training else frames[k]
+            noise_stds[k] = aug.noise_std
+        if burg:
+            from ..dsp.burg import burg_cepstral_analysis
+            fburg.append(np.asarray(burg_cepstral_analysis(jnp.asarray(proc))))
+
+        # preemphasis + dither (src/dump_data.c:271-272)
+        flat = proc.reshape(-1)
+        prev = np.concatenate([[0.0], flat[:-1]]).astype(np.float32)
+        y = flat - PREEMPHASIS * prev
+        y[0] = flat[0] + mem_preemph[0]
+        mem_preemph[0] = -PREEMPHASIS * flat[-1]
+        if training:
+            y = y + (rng.rand(len(y)) - 0.5).astype(np.float32)
+        proc = y.reshape(n, FRAME_SIZE)
+
+        # half-frame-delayed pcm alignment (src/dump_data.c:273-274,297)
+        pcm = np.empty_like(proc)
+        shifted = np.concatenate([pcm_carry, proc.reshape(-1)[:-TRAINING_OFFSET]])
+        pcm = shifted.reshape(n, FRAME_SIZE)
+        pcm_carry = proc.reshape(-1)[-TRAINING_OFFSET:].copy()
+        pcm = np.clip(np.floor(0.5 + pcm), -32767, 32767)
+
+        # batched feature extraction on device
+        enc_state, feats = feat_fn(enc_state, jnp.asarray(proc.reshape(1, -1)))
+        feats = np.asarray(feats)[0]                     # [n, 36]
+        ffeat.write(feats.astype(np.float32).tobytes())
+
+        if training:
+            noise = runtime.compute_noise_frames(noise_stds, seed=seed + done)
+            pairs = runtime.write_audio_frames(
+                pcm.reshape(-1), feats[:, 20:36].copy(), noise, sig_mem, exc_mem)
+            fpcm.write(pairs.tobytes())
+        done += n
+
+    ffeat.close()
+    if fpcm:
+        fpcm.close()
+    if burg:
+        return np.concatenate(fburg)
+    return None
