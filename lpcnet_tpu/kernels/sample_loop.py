@@ -116,7 +116,7 @@ def _sample_kernel(n_samples, na, nb,
     de_out[:] = de_in[:]
     rng_out[:] = rng_in[:]
 
-    def step(t, _):
+    def step(t, _):  # noqa: C901  (single fused AR step)
         last_sig = sig_out[:]                     # [BT, 16]
         lpc = lpc_ref[:]
         pred = -jnp.sum(last_sig * lpc, axis=1, keepdims=True)   # [BT, 1]
@@ -181,10 +181,18 @@ def _sample_kernel(n_samples, na, nb,
         out = pcm + PREEMPHASIS * de_out[:]
         de_out[:] = out
         out = jnp.clip(out, -32767.0, 32767.0)
-        pcm_out[:, pl.ds(t, 1)] = jnp.floor(0.5 + out)
+        return jnp.floor(0.5 + out)             # [BT, 1]
+
+    # Mosaic cannot store single dynamic lanes, so samples are produced in
+    # groups of 8 and written as one [8, BT] sublane block per group (the
+    # output is [n_samples, B], transposed back outside the kernel).
+    def octave(o, _):
+        cols = [step(o * 8 + j, None) for j in range(8)]
+        block = jnp.concatenate(cols, axis=1)   # [BT, 8]
+        pcm_out[pl.ds(pl.multiple_of(o * 8, 8), 8), :] = block.T
         return 0
 
-    jax.lax.fori_loop(0, n_samples, step, 0)
+    jax.lax.fori_loop(0, n_samples // 8, octave, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
@@ -202,6 +210,7 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
     na, nb = cfg.rnn_units1, cfg.rnn_units2
     b = cond_a.shape[0]
     assert b % BT == 0, f"batch {b} must be a multiple of {BT}"
+    assert n_samples % 8 == 0, "n_samples must be a multiple of 8"
     grid = (b // BT,)
 
     rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr, state.rng.jcong],
@@ -225,11 +234,13 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
         jax.ShapeDtypeStruct((b, 1), jnp.int32),
         jax.ShapeDtypeStruct((b, 1), jnp.float32),
         jax.ShapeDtypeStruct((b, 4), jnp.uint32),
-        jax.ShapeDtypeStruct((b, n_samples), jnp.float32),
+        jax.ShapeDtypeStruct((n_samples, b), jnp.float32),
     )
+    pcm_spec = pl.BlockSpec((n_samples, BT), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
     out_specs = (
         b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
-        b_spec(4), b_spec(n_samples),
+        b_spec(4), pcm_spec,
     )
     in_specs = [
         w_spec(kw["emb_cat"].shape), w_spec(kw["a_rec"].shape),
@@ -258,4 +269,4 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
         last_exc=exc2[:, 0], deemph=de2[:, 0],
         rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
     )
-    return new_state, pcm
+    return new_state, pcm.T
