@@ -1,0 +1,93 @@
+"""Multi-stream serving session: slot management over a fixed device batch.
+
+Production shape: a `StreamPool` owns a fixed-capacity batch of decoder
+state on device (static shapes, one compiled step). Streams attach/detach
+from slots; every 10 ms tick, the pool gathers per-stream feature frames (or
+packets) into batch order with the native runtime, runs ONE device step for
+all slots, and scatters PCM back per stream. Inactive slots still step (TPU
+prefers uniform work) but their state is re-zeroed on attach and their
+output discarded.
+
+This replaces the reference's one-state-object-per-stream C API for
+large-scale serving (the per-stream API remains available in lpcnet_tpu.api).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..codec.decoder import LPCNetDecoder
+from ..dsp.constants import FRAME_SIZE, NB_TOTAL_FEATURES
+from ..models import lpcnet as M
+
+
+class StreamPool:
+    def __init__(self, fused, cfg: M.LPCNetConfig, capacity: int = 256):
+        self.cfg = cfg
+        self.capacity = capacity
+        self.dec = LPCNetDecoder(fused, cfg, batch=capacity, fused=True)
+        self.free = list(range(capacity))[::-1]
+        self.slot_of: Dict[str, int] = {}
+        self._feat_buf = np.zeros((capacity, NB_TOTAL_FEATURES), np.float32)
+
+    # -- stream lifecycle ------------------------------------------------
+    def attach(self, stream_id: str) -> int:
+        if stream_id in self.slot_of:
+            return self.slot_of[stream_id]
+        if not self.free:
+            raise RuntimeError("stream pool full")
+        slot = self.free.pop()
+        self.slot_of[stream_id] = slot
+        self._reset_slot(slot)
+        return slot
+
+    def detach(self, stream_id: str) -> None:
+        slot = self.slot_of.pop(stream_id, None)
+        if slot is not None:
+            self.free.append(slot)
+
+    def _reset_slot(self, slot: int):
+        """Zero one slot's state without touching the others."""
+        b1 = M.init_frame_state(1, self.cfg)
+        s1 = M.init_sample_state(1, self.cfg)
+
+        def put(batched, single):
+            import jax
+            return jax.tree.map(
+                lambda full, one: full.at[slot].set(one[0]), batched, single)
+
+        self.dec.frame_state = put(self.dec.frame_state, b1)
+        self.dec.sample_state = put(self.dec.sample_state, s1)
+        if getattr(self.dec, "vq_mem", None) is not None:
+            self.dec.vq_mem = self.dec.vq_mem.at[slot].set(0.0)
+        self._feat_buf[slot] = 0.0
+
+    # -- ticking ---------------------------------------------------------
+    def step_features(self, features: Dict[str, np.ndarray]
+                      ) -> Dict[str, np.ndarray]:
+        """One 10 ms tick: {stream_id: [36] features} -> {stream_id: [160] i16}.
+
+        Streams without a feature frame this tick repeat their last frame
+        (concealment should go through the PLC API instead).
+        """
+        for sid, feat in features.items():
+            slot = self.attach(sid)
+            self._feat_buf[slot, : len(feat)] = feat
+        pcm = self.dec.synthesize(self._feat_buf)          # [capacity, 160]
+        return {sid: pcm[slot] for sid, slot in self.slot_of.items()}
+
+    def step_packets(self, packets: Dict[str, np.ndarray]
+                     ) -> Dict[str, np.ndarray]:
+        """One 40 ms tick: {stream_id: [8] uint8} -> {stream_id: [640] i16}."""
+        buf = np.zeros((self.capacity, 8), np.uint8)
+        for sid, pkt in packets.items():
+            buf[self.attach(sid)] = pkt
+        pcm = self.dec.decode(buf)
+        return {sid: pcm[slot] for sid, slot in self.slot_of.items()}
+
+    @property
+    def n_active(self) -> int:
+        return len(self.slot_of)
