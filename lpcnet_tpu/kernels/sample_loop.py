@@ -44,12 +44,17 @@ BT = 128  # batch tile (streams per grid step)
 _INTERPRET = bool(__import__("os").environ.get("LPCNET_PALLAS_INTERPRET"))
 
 
-def kernel_weights(fused, cfg: LPCNetConfig):
-    """Precompute the kernel-layout weight bundle from fused params."""
+def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
+    """Precompute the kernel-layout weight bundle from fused params.
+
+    `dtype` selects the MXU operand type for the big matmuls (embedding
+    table, GRU recurrents): bfloat16 (default, ~4x MXU throughput vs f32 on
+    v5e; accumulation stays f32) or float32 for bit-closest parity runs.
+    """
     na, nb = cfg.rnn_units1, cfg.rnn_units2
     emb_cat = jnp.concatenate(
         [fused["embed_sig_a"], fused["embed_pred_a"], fused["embed_exc_a"]],
-        axis=0).astype(jnp.float32)                     # [768, 3Na]
+        axis=0).astype(dtype)                           # [768, 3Na]
     dk = fused["dual_fc"]["kernel"]                     # [nb, 256, 2]
     dual_aug = jnp.concatenate([
         dk[:, :, 0].T, dk[:, :, 1].T,                   # [256, nb] x2
@@ -58,10 +63,10 @@ def kernel_weights(fused, cfg: LPCNetConfig):
     ], axis=1).astype(jnp.float32)                      # [256, 2nb+4]
     return {
         "emb_cat": emb_cat,
-        "a_rec": fused["gru_a_rec"]["recurrent"].astype(jnp.float32),
+        "a_rec": fused["gru_a_rec"]["recurrent"].astype(dtype),
         "a_bias1": fused["gru_a_rec"]["bias"][1][None, :].astype(jnp.float32),
-        "b_in": fused["gru_b_in"].astype(jnp.float32),
-        "b_rec": fused["gru_b_rec"]["recurrent"].astype(jnp.float32),
+        "b_in": fused["gru_b_in"].astype(dtype),
+        "b_rec": fused["gru_b_rec"]["recurrent"].astype(dtype),
         "b_bias1": fused["gru_b_rec"]["bias"][1][None, :].astype(jnp.float32),
         "dual_aug": dual_aug,
         "logit_table": jnp.asarray(_logit_table())[:, None],  # [256, 1]
@@ -124,23 +129,26 @@ def _sample_kernel(n_samples, na, nb,
         pred_u = _lin2ulaw(pred)
         exc_u = exc_out[:]                        # [BT, 1] int32
 
+        wdt = emb_ref.dtype
         oh = jnp.concatenate([
             _onehot(sig_u, 256), _onehot(pred_u, 256), _onehot(exc_u, 256),
-        ], axis=1)                                # [BT, 768]
+        ], axis=1).astype(wdt)                    # [BT, 768]
         gate_a = conda_ref[:] + jnp.dot(oh, emb_ref[:],
                                         preferred_element_type=jnp.float32)
         h_a = ha_out[:]
-        zrec = jnp.dot(h_a, arec_ref[:], preferred_element_type=jnp.float32) + abias_ref[:]
+        zrec = jnp.dot(h_a.astype(wdt), arec_ref[:],
+                       preferred_element_type=jnp.float32) + abias_ref[:]
         z = jax.nn.sigmoid(gate_a[:, :na] + zrec[:, :na])
         r = jax.nn.sigmoid(gate_a[:, na:2 * na] + zrec[:, na:2 * na])
         hc = jnp.tanh(gate_a[:, 2 * na:] + r * zrec[:, 2 * na:])
         h_a = z * h_a + (1.0 - z) * hc
         ha_out[:] = h_a
 
-        gate_b = condb_ref[:] + jnp.dot(h_a, bin_ref[:],
+        gate_b = condb_ref[:] + jnp.dot(h_a.astype(wdt), bin_ref[:],
                                         preferred_element_type=jnp.float32)
         h_b = hb_out[:]
-        zrec_b = jnp.dot(h_b, brec_ref[:], preferred_element_type=jnp.float32) + bbias_ref[:]
+        zrec_b = jnp.dot(h_b.astype(wdt), brec_ref[:],
+                         preferred_element_type=jnp.float32) + bbias_ref[:]
         zb = jax.nn.sigmoid(gate_b[:, :nb] + zrec_b[:, :nb])
         rb = jax.nn.sigmoid(gate_b[:, nb:2 * nb] + zrec_b[:, nb:2 * nb])
         hcb = jnp.tanh(gate_b[:, 2 * nb:] + rb * zrec_b[:, 2 * nb:])

@@ -155,3 +155,57 @@ def dump_data(speech: np.ndarray, features_out: str, pcm_out: str | None = None,
     if burg:
         return np.concatenate(fburg)
     return None
+
+
+def main(argv=None):
+    """CLI mirroring the reference dump_data modes (src/dump_data.c:145-171):
+    -train/-test (+ burg variants) and feature-domain -decode."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="lpcnet_tpu.train.dump_data")
+    ap.add_argument("mode", choices=["-train", "-test", "-btrain", "-btest",
+                                     "train", "test", "btrain", "btest",
+                                     "decode", "-decode"])
+    ap.add_argument("input")
+    ap.add_argument("features_out")
+    ap.add_argument("pcm_out", nargs="?", default=None)
+    ap.add_argument("--seconds", type=float, default=None,
+                    help="cycle input until this many seconds are generated")
+    ns = ap.parse_args(argv)
+    mode = ns.mode.lstrip("-")
+
+    if mode == "decode":
+        from ..codec import packet as P
+        from ..codec.codebooks import load_codebooks
+        from ..codec.decoder import decode_packet_features
+        import jax.numpy as jnp
+        data = np.fromfile(ns.input, np.uint8).reshape(-1, 8)
+        cbs = load_codebooks()
+        vq = jnp.zeros((1, 18))
+        with open(ns.features_out, "wb") as f:
+            for row in data:
+                fields = {k: jnp.asarray(v)[None]
+                          for k, v in P.unpack_fields(row).items()}
+                feats, vq = decode_packet_features(fields, vq, cbs)
+                f.write(np.asarray(feats)[0].astype(np.float32).tobytes())
+        return 0
+
+    speech = np.fromfile(ns.input, dtype=np.int16)
+    training = mode in ("train", "btrain")
+    burg = mode in ("btrain", "btest")
+    min_samples = int(ns.seconds * 16000) if ns.seconds else None
+    burg_feats = dump_data(speech, ns.features_out,
+                           ns.pcm_out if training else None,
+                           burg=burg, min_samples=min_samples)
+    if burg and burg_feats is not None:
+        # btrain interleaves burg rows before the feature rows per frame;
+        # here they are emitted as a sidecar file for the PLC trainer
+        feats = np.fromfile(ns.features_out, np.float32).reshape(-1, 36)
+        n = min(len(feats), len(burg_feats))
+        merged = np.concatenate([burg_feats[:n], feats[:n]], axis=1)
+        merged.astype(np.float32).tofile(ns.features_out)
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,59 @@ class Trainer:
             if hasattr(loader, "on_epoch_end"):
                 loader.on_epoch_end()
         return self.state
+
+
+def main(argv=None):
+    """CLI mirroring training_tf2/train_lpcnet.py."""
+    import argparse
+
+    from .data import LPCNetLoader
+
+    ap = argparse.ArgumentParser(prog="lpcnet_tpu.train.train_lpcnet")
+    ap.add_argument("features")
+    ap.add_argument("data")
+    ap.add_argument("output")
+    ap.add_argument("--quantize", metavar="<input weights>", default=None)
+    ap.add_argument("--retrain", metavar="<input weights>", default=None)
+    ap.add_argument("--density-split", nargs=3, type=float,
+                    default=(0.05, 0.05, 0.2))
+    ap.add_argument("--grua-size", type=int, default=384)
+    ap.add_argument("--grub-size", type=int, default=16)
+    ap.add_argument("--cond-size", type=int, default=128)
+    ap.add_argument("--epochs", type=int, default=120)
+    ap.add_argument("--batch-size", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--decay", type=float, default=None)
+    ap.add_argument("--end2end", action="store_true")
+    ap.add_argument("--lookahead", type=int, default=2)
+    ap.add_argument("--lpc-gamma", type=float, default=1.0)
+    ns = ap.parse_args(argv)
+
+    import jax
+
+    from ..models.lpcnet import LPCNetConfig
+    from ..weights.checkpoint import load_checkpoint
+
+    cfg = LPCNetConfig(rnn_units1=ns.grua_size, rnn_units2=ns.grub_size,
+                       cond_size=ns.cond_size, e2e=ns.end2end,
+                       lookahead=ns.lookahead, lpc_gamma=ns.lpc_gamma)
+    tc = TrainConfig(batch_size=ns.batch_size, epochs=ns.epochs,
+                     lookahead=ns.lookahead, quantize=ns.quantize is not None,
+                     density=tuple(ns.density_split),
+                     **({"lr": ns.lr} if ns.lr else {}),
+                     **({"decay": ns.decay} if ns.decay is not None else {}))
+    trainer = Trainer(cfg, tc)
+    init_from = ns.quantize or ns.retrain
+    if init_from:
+        params, _ = load_checkpoint(init_from)
+        trainer.state = TrainState(jax.device_put(params),
+                                   trainer.optimizer.init(params),
+                                   trainer.state.step)
+    loader = LPCNetLoader(ns.data, ns.features, batch_size=ns.batch_size,
+                          lookahead=ns.lookahead, e2e=ns.end2end)
+    trainer.fit(loader, checkpoint_path=f"{ns.output}_{ns.grua_size}")
+    return 0
+
+
+if __name__ == "__main__":
+    main()

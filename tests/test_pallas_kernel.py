@@ -13,10 +13,11 @@ from lpcnet_tpu.models import lpcnet as M
 
 
 def test_pallas_matches_scan():
+    import jax.numpy as jnp
     cfg = M.LPCNetConfig()
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     fused = M.fuse_inference_params(params, cfg)
-    kw = K.kernel_weights(fused, cfg)
+    kw = K.kernel_weights(fused, cfg, dtype=jnp.float32)
 
     b = K.BT
     feats = jax.random.normal(jax.random.PRNGKey(7), (b, 36)) * 0.3
@@ -39,3 +40,25 @@ def test_pallas_matches_scan():
     np.testing.assert_allclose(np.asarray(s_pal.gru_a),
                                np.asarray(s_scan.gru_a), atol=2e-2)
     assert np.array_equal(np.asarray(s_pal.rng.z), np.asarray(s_scan.rng.z))
+
+
+def test_pallas_bf16_close_to_f32():
+    import jax.numpy as jnp
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(1), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    b = K.BT
+    feats = jax.random.normal(jax.random.PRNGKey(8), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+    s0 = M.init_sample_state(b, cfg)
+    kw32 = K.kernel_weights(fused, cfg, dtype=jnp.float32)
+    kw16 = K.kernel_weights(fused, cfg, dtype=jnp.bfloat16)
+    _, pcm32 = K.synthesize_frame_pallas(kw32, s0, ca, cb, lpc, cfg, n_samples=16)
+    _, pcm16 = K.synthesize_frame_pallas(kw16, s0, ca, cb, lpc, cfg, n_samples=16)
+    # same sampler structure; waveform statistics must be comparable (exact
+    # bit decisions may differ under bf16 logits)
+    r32 = float(np.sqrt(np.mean(np.asarray(pcm32) ** 2)))
+    r16 = float(np.sqrt(np.mean(np.asarray(pcm16) ** 2)))
+    assert np.isfinite(r16)
+    assert abs(r16 - r32) / max(r32, 1.0) < 0.5

@@ -110,3 +110,30 @@ def test_weight_clip():
     out = np.asarray(weight_clip_constraint(w, c))
     pair = np.abs(out[:, 0::2]) + np.abs(out[:, 1::2])
     assert np.all(pair <= 2 * c + 1e-5)
+
+
+def test_training_e2e_variant():
+    """End-to-end (differentiable LPC) variant trains: rc head + interp loss."""
+    cfg = M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=20,
+                         pitch_embed_dim=8, e2e=True)
+    tc = TrainConfig(batch_size=2, chunk_frames=3)
+    mesh = pmesh.make_mesh(jax.devices("cpu")[:1])
+    tr = Trainer(cfg, tc, mesh=mesh)
+    rng = np.random.RandomState(5)
+    b, frames = 2, 3
+    t = frames * 160
+    sig = np.cumsum(rng.randn(b, t + 1), axis=1).astype(np.float32) * 100
+    batch = {
+        "sig_in": sig[:, :-1],
+        "sig_out": sig[:, 1:],
+        "features": rng.randn(b, frames + 4, 20).astype(np.float32) * 0.3,
+        "periods": rng.randint(33, 255, (b, frames + 4)).astype(np.int32),
+        "rc": (rng.randn(b, frames, 16) * 0.05).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        losses.append(tr.train_step(batch, sub)["loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
