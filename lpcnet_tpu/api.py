@@ -66,6 +66,11 @@ class Synthesizer:
         d.batch = batch
         d.cbs = None
         d.fused = fused
+        d._kw = None
+        import jax as _jax
+        if _jax.default_backend() != "cpu" and batch >= 64:
+            from .kernels.sample_loop import kernel_weights as _mk_kw
+            d._kw = _mk_kw(fused, self.cfg)
         d.frame_state = M.init_frame_state(batch, self.cfg)
         d.sample_state = M.init_sample_state(batch, self.cfg)
 

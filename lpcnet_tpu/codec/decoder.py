@@ -65,16 +65,26 @@ def decode_packet_features(fields, vq_mem, cbs: Codebooks
     return feats, f3
 
 
-def _synthesize_one_frame(fused, cfg, fstate, sstate, feats, preload=None):
+def _synthesize_one_frame(fused, cfg, fstate, sstate, feats, preload=None,
+                          kernel_weights=None):
     """Frame net + sample loop with the reference's warmup semantics.
 
     Until the conv pipeline is primed (frame_count <= lookahead after the
     frame-net increment) the reference emits silence and does NOT advance
     the sample-rate state (src/lpcnet.c:239-243); we mask both.
+
+    With `kernel_weights` (from kernels.sample_loop.kernel_weights) the
+    free-running path uses the fused Pallas kernel; teacher forcing always
+    uses the scan path.
     """
     fstate, _, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
-    new_sstate, pcm = M.synthesize_frame(fused, sstate, ca, cb, lpc,
-                                         preload=preload)
+    if kernel_weights is not None and preload is None:
+        from ..kernels.sample_loop import synthesize_frame_auto
+        new_sstate, pcm = synthesize_frame_auto(
+            kernel_weights, sstate, ca, cb, lpc, cfg)
+    else:
+        new_sstate, pcm = M.synthesize_frame(fused, sstate, ca, cb, lpc,
+                                             preload=preload)
     live = fstate.frame_count > cfg.lookahead          # [B] bool
     def sel(new, old):
         mask = live.reshape(live.shape + (1,) * (new.ndim - 1))
@@ -87,11 +97,21 @@ class LPCNetDecoder:
     """Stateful batched decoder (packets -> audio), cf. LPCNetDecState."""
 
     def __init__(self, params, cfg: M.LPCNetConfig, batch: int = 1,
-                 codebooks: Codebooks | None = None, fused: bool = False):
+                 codebooks: Codebooks | None = None, fused: bool = False,
+                 use_pallas: bool | None = None):
         self.cfg = cfg
         self.batch = batch
         self.cbs = codebooks or load_codebooks()
         self.fused = params if fused else M.fuse_inference_params(params, cfg)
+        # the fused kernel pays off on TPU from moderate batch sizes; the
+        # scan path is better for tiny batches and is the CPU reference
+        if use_pallas is None:
+            import jax as _jax
+            use_pallas = (_jax.default_backend() != "cpu" and batch >= 64)
+        self._kw = None
+        if use_pallas:
+            from ..kernels.sample_loop import kernel_weights as _mk_kw
+            self._kw = _mk_kw(self.fused, cfg)
         self.vq_mem = jnp.zeros((batch, NB_BANDS), jnp.float32)
         self.frame_state = M.init_frame_state(batch, cfg)
         self.sample_state = M.init_sample_state(batch, cfg)
@@ -103,7 +123,8 @@ class LPCNetDecoder:
         pcm = []
         for k in range(4):
             fstate, sstate, frame_pcm = _synthesize_one_frame(
-                self.fused, self.cfg, fstate, sstate, feats[:, k])
+                self.fused, self.cfg, fstate, sstate, feats[:, k],
+                kernel_weights=self._kw)
             pcm.append(frame_pcm)
         return fstate, sstate, jnp.concatenate(pcm, axis=-1)
 
@@ -121,7 +142,8 @@ class LPCNetDecoder:
 
         if not hasattr(self, "_synth_one"):
             self._synth_one = jax.jit(
-                lambda fs, ss, f: _synthesize_one_frame(self.fused, self.cfg, fs, ss, f))
+                lambda fs, ss, f: _synthesize_one_frame(
+                    self.fused, self.cfg, fs, ss, f, kernel_weights=self._kw))
         self.frame_state, self.sample_state, pcm = self._synth_one(
             self.frame_state, self.sample_state, feats)
         return np.asarray(pcm).astype(np.int16)

@@ -56,11 +56,13 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
         [fused["embed_sig_a"], fused["embed_pred_a"], fused["embed_exc_a"]],
         axis=0).astype(dtype)                           # [768, 3Na]
     dk = fused["dual_fc"]["kernel"]                     # [nb, 256, 2]
-    dual_aug = jnp.concatenate([
-        dk[:, :, 0].T, dk[:, :, 1].T,                   # [256, nb] x2
-        fused["dual_fc"]["bias"],                       # [256, 2]
-        fused["dual_fc"]["factor"],                     # [256, 2]
-    ], axis=1).astype(jnp.float32)                      # [256, 2nb+4]
+    # column layout: one [nb, 512] matmul per step yields BOTH channels of
+    # every node's pre-activation; bias/factor ride as [1, 512] rows
+    dual_w = jnp.concatenate([dk[:, :, 0], dk[:, :, 1]], axis=1)  # [nb, 512]
+    dual_bias = jnp.concatenate([fused["dual_fc"]["bias"][:, 0],
+                                 fused["dual_fc"]["bias"][:, 1]])[None, :]
+    dual_factor = jnp.concatenate([fused["dual_fc"]["factor"][:, 0],
+                                   fused["dual_fc"]["factor"][:, 1]])[None, :]
     return {
         "emb_cat": emb_cat,
         "a_rec": fused["gru_a_rec"]["recurrent"].astype(dtype),
@@ -68,8 +70,10 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
         "b_in": fused["gru_b_in"].astype(dtype),
         "b_rec": fused["gru_b_rec"]["recurrent"].astype(dtype),
         "b_bias1": fused["gru_b_rec"]["bias"][1][None, :].astype(jnp.float32),
-        "dual_aug": dual_aug,
-        "logit_table": jnp.asarray(_logit_table())[:, None],  # [256, 1]
+        "dual_w": dual_w.astype(jnp.float32),
+        "dual_bias": dual_bias.astype(jnp.float32),
+        "dual_factor": dual_factor.astype(jnp.float32),
+        "logit_table": jnp.asarray(_logit_table())[None, :],  # [1, 256]
     }
 
 
@@ -108,7 +112,7 @@ def _onehot(idx, n):
 def _sample_kernel(n_samples, na, nb,
                    # inputs
                    emb_ref, arec_ref, abias_ref, bin_ref, brec_ref, bbias_ref,
-                   dual_ref, table_ref,
+                   dualw_ref, dualb_ref, dualf_ref, table_ref,
                    conda_ref, condb_ref, lpc_ref,
                    ha_in, hb_in, sig_in, exc_in, de_in, rng_in,
                    # outputs
@@ -169,17 +173,23 @@ def _sample_kernel(n_samples, na, nb,
         bytes_ = [(r1 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)] + \
                  [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
 
+        # all 256 node logits in one go: [BT, nb] @ [nb, 512] -> split
+        pre = jnp.dot(h_b, dualw_ref[:],
+                      preferred_element_type=jnp.float32) + dualb_ref[:]
+        tpre = dualf_ref[:] * jnp.tanh(pre)              # [BT, 512]
+        all_logits = tpre[:, :256] + tpre[:, 256:]       # [BT, 256]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, all_logits.shape, 1)
+        table_row = table_ref[:]                         # [1, 256]
+
         val = jnp.zeros_like(exc_u)
         for b in range(8):
             rows = (1 << b) | val
-            sel = jnp.dot(_onehot(rows, 256), dual_ref[:],
-                          preferred_element_type=jnp.float32)   # [BT, 2nb+4]
-            s0 = jnp.sum(sel[:, :nb] * h_b, axis=1, keepdims=True) + sel[:, 2 * nb:2 * nb + 1]
-            s1 = jnp.sum(sel[:, nb:2 * nb] * h_b, axis=1, keepdims=True) + sel[:, 2 * nb + 1:2 * nb + 2]
-            logit = (sel[:, 2 * nb + 2:2 * nb + 3] * jnp.tanh(s0)
-                     + sel[:, 2 * nb + 3:2 * nb + 4] * jnp.tanh(s1))
-            thr = jnp.dot(_onehot(bytes_[b].astype(jnp.int32), 256), table_ref[:],
-                          preferred_element_type=jnp.float32)   # [BT, 1]
+            # lane-select via masked reduce (VPU) instead of MXU gathers
+            logit = jnp.sum(jnp.where(lanes == rows, all_logits, 0.0),
+                            axis=1, keepdims=True)
+            byte_idx = bytes_[b].astype(jnp.int32)
+            thr = jnp.sum(jnp.where(lanes == byte_idx, table_row, 0.0),
+                          axis=1, keepdims=True)
             bit = (thr < logit).astype(jnp.int32)
             val = (val << 1) | bit
 
@@ -254,7 +264,8 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
         w_spec(kw["emb_cat"].shape), w_spec(kw["a_rec"].shape),
         w_spec(kw["a_bias1"].shape), w_spec(kw["b_in"].shape),
         w_spec(kw["b_rec"].shape), w_spec(kw["b_bias1"].shape),
-        w_spec(kw["dual_aug"].shape), w_spec(kw["logit_table"].shape),
+        w_spec(kw["dual_w"].shape), w_spec(kw["dual_bias"].shape),
+        w_spec(kw["dual_factor"].shape), w_spec(kw["logit_table"].shape),
         b_spec(3 * na), b_spec(3 * nb), b_spec(LPC_ORDER),
         b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
         b_spec(4),
@@ -268,7 +279,8 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
         out_shape=out_shapes,
         interpret=_INTERPRET,
     )(kw["emb_cat"], kw["a_rec"], kw["a_bias1"], kw["b_in"], kw["b_rec"],
-      kw["b_bias1"], kw["dual_aug"], kw["logit_table"],
+      kw["b_bias1"], kw["dual_w"], kw["dual_bias"], kw["dual_factor"],
+      kw["logit_table"],
       cond_a, cond_b, lpc, state.gru_a, state.gru_b, state.last_sig,
       exc, de, rng)
 
@@ -278,3 +290,24 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
         rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
     )
     return new_state, pcm.T
+
+
+def synthesize_frame_auto(kw, state: SampleState, cond_a, cond_b, lpc,
+                          cfg: LPCNetConfig, n_samples: int = 160):
+    """Batch-size-agnostic wrapper: pads the stream batch up to a BT
+    multiple, runs the fused kernel, and slices the result back."""
+    b = cond_a.shape[0]
+    pb = (b + BT - 1) // BT * BT
+    if pb == b:
+        return synthesize_frame_pallas(kw, state, cond_a, cond_b, lpc, cfg,
+                                       n_samples)
+
+    def pad(x):
+        widths = [(0, pb - b)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    st_p = jax.tree.map(pad, state)
+    new_p, pcm = synthesize_frame_pallas(
+        kw, st_p, pad(cond_a), pad(cond_b), pad(lpc), cfg, n_samples)
+    unpad = lambda x: x[:b]
+    return jax.tree.map(unpad, new_p), pcm[:b]
