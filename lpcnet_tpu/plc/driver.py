@@ -29,6 +29,9 @@ def make_plc(options: str, model_path=None, batch: int = 1,
     import jax
 
     from ..models import lpcnet as M
+    if options not in _OPTION_MAP:
+        raise SystemExit(
+            f"unknown plc mode '{options}'; choose from {sorted(_OPTION_MAP)}")
     flags = _OPTION_MAP[options]
     noncausal = bool(flags & 0x1)
     if model_path is None:

@@ -69,7 +69,7 @@ class AugmentationState:
 
 def dump_data(speech: np.ndarray, features_out: str, pcm_out: str | None = None,
               seed: int = 0, chunk_frames: int = 400, burg: bool = False,
-              min_samples: int | None = None):
+              min_samples: int | None = None, quantize: bool = False):
     """Run the augmentation + feature pipeline over a speech array.
 
     Args:
@@ -83,6 +83,8 @@ def dump_data(speech: np.ndarray, features_out: str, pcm_out: str | None = None,
     speech = np.asarray(speech)
     n_total = len(speech) if min_samples is None else max(min_samples, len(speech))
     n_frames_total = n_total // FRAME_SIZE
+    if quantize:
+        n_frames_total = n_frames_total // 4 * 4
 
     aug = AugmentationState(seed)
     training = pcm_out is not None
@@ -93,7 +95,31 @@ def dump_data(speech: np.ndarray, features_out: str, pcm_out: str | None = None,
     pcm_carry = np.zeros(TRAINING_OFFSET, np.float32)
 
     enc_state = F.init_encoder_state(1)
-    feat_fn = jax.jit(F.compute_single_frame_features_seq)
+    if quantize:
+        # -qtrain/-qtest: features go through the full 40 ms quantize path
+        # (src/dump_data.c:288-293); chunks must be superframe-aligned
+        from .. import codec
+        from ..codec.codebooks import load_codebooks
+        from ..codec.encoder import encode_superframe
+        cbs = load_codebooks()
+        chunk_frames = max(4, chunk_frames // 4 * 4)
+
+        def feat_fn(st, pcm_flat):
+            b = pcm_flat.shape[0]
+            t = pcm_flat.shape[-1] // 640
+            chunks = pcm_flat[..., : t * 640].reshape(b, t, 640)
+
+            def step(st, chunk):
+                st, feats_q, _ = encode_superframe(st, chunk, cbs)
+                return st, feats_q
+
+            st, feats = jax.lax.scan(step, st, jnp.moveaxis(chunks, 1, 0))
+            feats = jnp.moveaxis(feats, 0, 1)          # [B, T, 4, 36]
+            return st, feats.reshape(b, -1, 36)
+
+        feat_fn = jax.jit(feat_fn)
+    else:
+        feat_fn = jax.jit(F.compute_single_frame_features_seq)
 
     ffeat = open(features_out, "wb")
     fpcm = open(pcm_out, "wb") if training else None
@@ -162,10 +188,14 @@ def main(argv=None):
     -train/-test (+ burg variants) and feature-domain -decode."""
     import argparse
 
+    import sys
+    argv = list(sys.argv[1:] if argv is None else argv)
+    # accept the reference's dash-prefixed modes (-train etc.) despite argparse
+    modes = {"train", "test", "btrain", "btest", "decode", "qtrain", "qtest"}
+    if argv and argv[0].lstrip("-") in modes:
+        argv[0] = argv[0].lstrip("-")
     ap = argparse.ArgumentParser(prog="lpcnet_tpu.train.dump_data")
-    ap.add_argument("mode", choices=["-train", "-test", "-btrain", "-btest",
-                                     "train", "test", "btrain", "btest",
-                                     "decode", "-decode"])
+    ap.add_argument("mode", choices=sorted(modes))
     ap.add_argument("input")
     ap.add_argument("features_out")
     ap.add_argument("pcm_out", nargs="?", default=None)
@@ -191,12 +221,13 @@ def main(argv=None):
         return 0
 
     speech = np.fromfile(ns.input, dtype=np.int16)
-    training = mode in ("train", "btrain")
+    training = mode in ("train", "btrain", "qtrain")
     burg = mode in ("btrain", "btest")
     min_samples = int(ns.seconds * 16000) if ns.seconds else None
     burg_feats = dump_data(speech, ns.features_out,
                            ns.pcm_out if training else None,
-                           burg=burg, min_samples=min_samples)
+                           burg=burg, min_samples=min_samples,
+                           quantize=mode in ("qtrain", "qtest"))
     if burg and burg_feats is not None:
         # btrain interleaves burg rows before the feature rows per frame;
         # here they are emitted as a sidecar file for the PLC trainer
