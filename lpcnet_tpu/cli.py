@@ -33,10 +33,23 @@ def _read_pcm(path):
     return np.fromfile(path, dtype=np.int16)
 
 
+def _load_rdovae(path):
+    if path.endswith(".npz"):
+        from .weights.checkpoint import load_checkpoint
+        import numpy as _np
+        d = _np.load(path)
+        from .weights.checkpoint import unflatten_tree
+        return unflatten_tree({k: d[k] for k in d.files if k != "__config__"})
+    from .weights.aux_arrays import load_rdovae_blob
+    with open(path, "rb") as f:
+        return load_rdovae_blob(f.read())
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="lpcnet_tpu")
     ap.add_argument("mode", choices=["encode", "decode", "features",
-                                     "synthesis", "plc", "addlpc"])
+                                     "synthesis", "plc", "addlpc",
+                                     "dred-encode", "dred-decode"])
     ap.add_argument("args", nargs="+")
     ap.add_argument("--model", default=None,
                     help="model weights (.npz checkpoint or DNNw .bin blob)")
@@ -94,6 +107,45 @@ def main(argv=None):
         out = api.add_lpc_to_features(feats[: n * 36].reshape(n, 36))
         out.astype(np.float32).tofile(ns.args[1])
         print(f"added LPC to {n} frames")
+
+    elif ns.mode == "dred-encode":
+        # pcm -> latent symbols + decoder-init states (f32 files), mirroring
+        # training_tf2/encode_rdovae.py
+        import jax
+        from .codec.encoder import LPCNetEncoder
+        from .dred.coder import DREDEncoder
+        from .models import rdovae as RV
+        pcm = _read_pcm(ns.args[0])
+        params = (RV.init_params(jax.random.PRNGKey(0), RV.RDOVAEConfig())
+                  if ns.model is None else _load_rdovae(ns.model))
+        enc = api.lpcnet_encoder_create()
+        dred = DREDEncoder(params)
+        n = len(pcm) // FRAME_SIZE
+        for t in range(n):
+            f = api.lpcnet_compute_single_frame_features(
+                enc, pcm[t * FRAME_SIZE:(t + 1) * FRAME_SIZE])
+            dred.add_feature_frame(f[None, :20])
+        z = np.concatenate(dred.latents, 0) if dred.latents else np.zeros((0, 80))
+        st = np.concatenate(dred.init_states, 0)
+        z.astype(np.float32).tofile(ns.args[1])
+        st.astype(np.float32).tofile(ns.args[1] + ".state")
+        print(f"dred-encode: {len(dred.latents)} latents")
+
+    elif ns.mode == "dred-decode":
+        import jax
+        from .dred.coder import DREDDecoder
+        from .models import rdovae as RV
+        cfg = RV.RDOVAEConfig()
+        params = (RV.init_params(jax.random.PRNGKey(0), cfg)
+                  if ns.model is None else _load_rdovae(ns.model))
+        z = np.fromfile(ns.args[0], np.float32).reshape(1, -1, cfg.latent_dim)
+        st = np.fromfile(ns.args[0] + ".state", np.float32).reshape(1, -1, cfg.state_dim)
+        dec = DREDDecoder(params, cfg)
+        # decode from the newest state over every 2nd latent (dec stride)
+        zsel = z[:, ::-2][:, ::-1]
+        feats = dec.decode_all(zsel, np.zeros(zsel.shape[1], np.int32), st[:, -1])
+        feats[0].astype(np.float32).tofile(ns.args[1])
+        print(f"dred-decode: {feats.shape[1]} feature frames")
 
     elif ns.mode == "plc":
         from .plc.driver import run_plc_file

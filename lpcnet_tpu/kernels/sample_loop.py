@@ -38,7 +38,7 @@ LOG256 = 5.5451774445
 _SCALE = 255.0 / 32768.0
 _SCALE_1 = 32768.0 / 255.0
 
-BT = int(__import__("os").environ.get("LPCNET_KERNEL_BT", "128"))  # streams per grid step
+BT = int(__import__("os").environ.get("LPCNET_KERNEL_BT", "256"))  # streams per grid step
 
 # CPU tests run the kernel in interpreter mode
 _INTERPRET = bool(__import__("os").environ.get("LPCNET_PALLAS_INTERPRET"))

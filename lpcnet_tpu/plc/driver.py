@@ -44,9 +44,13 @@ def make_plc(options: str, model_path=None, batch: int = 1,
             raise ValueError("non-causal PLC requires a lookahead-0 model")
     if plc_model_path is None:
         plc_params = PM.init_params(jax.random.PRNGKey(seed + 1))
-    else:
+    elif plc_model_path.endswith(".npz"):
         from ..weights.checkpoint import load_checkpoint
         plc_params, _ = load_checkpoint(plc_model_path)
+    else:
+        from ..weights.aux_arrays import load_plc_blob
+        with open(plc_model_path, "rb") as f:
+            plc_params = load_plc_blob(f.read())
     return PLC(fused, cfg, plc_params, options=flags, batch=batch)
 
 

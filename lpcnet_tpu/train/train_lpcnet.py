@@ -63,10 +63,11 @@ def make_optimizer(tc: TrainConfig):
     return optax.adam(schedule, b1=tc.beta1, b2=tc.beta2, eps=1e-7)
 
 
-def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng):
+def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng,
+            gru_states=None):
     out = M.training_forward(
         params, cfg, batch["sig_in"], batch["features"], batch["periods"],
-        lpc=batch.get("lpc"), rng=rng, training=True)
+        lpc=batch.get("lpc"), rng=rng, training=True, gru_states=gru_states)
     if cfg.e2e:
         ce = LL.interp_mulaw_loss(batch["sig_out"], out["tensor_preds"],
                                   out["real_preds"], out["pdf"], tc.gamma)
@@ -79,7 +80,7 @@ def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng):
         "cel": jnp.mean(LL.metric_cel(batch["sig_out"], out["tensor_preds"], out["pdf"])),
         "exc_sd": jnp.mean(LL.metric_exc_sd(batch["sig_out"], out["tensor_preds"])),
     }
-    return loss, metrics
+    return loss, (metrics, out["gru_states"])
 
 
 def apply_constraints(params):
@@ -100,13 +101,16 @@ def make_train_step(cfg: M.LPCNetConfig, tc: TrainConfig, optimizer,
     """Build the jitted DP train step. Sparsification runs inside jit on a
     lax.cond gated by the schedule's interval arithmetic."""
 
-    def step_fn(state: TrainState, batch, rng):
-        (loss, metrics), grads = jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, tc, batch, rng), has_aux=True)(state.params)
+    def step_fn(state: TrainState, batch, rng, gru_states):
+        (loss, (metrics, new_states)), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, cfg, tc, batch, rng, gru_states),
+            has_aux=True)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = apply_constraints(params)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        new_states = jax.tree.map(jax.lax.stop_gradient, new_states)
+        return (TrainState(params, opt_state, state.step + 1), metrics,
+                new_states)
 
     return step_fn
 
@@ -137,11 +141,19 @@ class Trainer:
         self._step = jax.jit(step, donate_argnums=(0,))
         self.state = jax.device_put(self.state, pmesh.replicated(self.mesh))
         self._host_step = 0
+        # stateful truncated BPTT: GRU states carry across successive chunks
+        # (the reference trains with stateful=True, training_tf2/lpcnet.py:286)
+        self._gru_states = None
 
     def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         batch = pmesh.shard_batch(self.mesh, {
             k: jnp.asarray(v) for k, v in batch.items()})
-        self.state, metrics = self._step(self.state, batch, rng)
+        if self._gru_states is None:
+            b = batch["sig_in"].shape[0]
+            self._gru_states = (jnp.zeros((b, self.cfg.rnn_units1)),
+                                jnp.zeros((b, self.cfg.rnn_units2)))
+        self.state, metrics, self._gru_states = self._step(
+            self.state, batch, rng, self._gru_states)
         self._host_step += 1
         # host-side schedule gating (interval arithmetic on python ints),
         # transform itself runs jitted on device
@@ -151,6 +163,15 @@ class Trainer:
                                      self.cfg.rnn_units1)
             self.state = TrainState(params, self.state.opt_state, self.state.step)
         return {k: float(v) for k, v in metrics.items()}
+
+    def full_state(self):
+        """Everything needed for exact resume: TrainState + TBPTT carry."""
+        return {"train_state": self.state, "gru_states": self._gru_states}
+
+    def restore_full_state(self, full):
+        self.state = full["train_state"]
+        self._gru_states = full["gru_states"]
+        self._host_step = int(self.state.step)
 
     def fit(self, loader, epochs: Optional[int] = None, log_every: int = 50,
             checkpoint_path: Optional[str] = None):

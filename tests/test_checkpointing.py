@@ -29,11 +29,12 @@ def test_save_restore_resume(tmp_path):
     key = jax.random.PRNGKey(7)
     tr.train_step(batch, key)
     path = str(tmp_path / "ckpt" / "step_1")
-    save_train_state(path, tr.state)
+    save_train_state(path, tr.full_state())
 
     # continue two paths: live vs restored; they must match exactly
     tr2 = Trainer(cfg, tc, mesh=mesh)
-    tr2.state = restore_train_state(path, tr2.state)
+    tr2.train_step(batch, key)  # materialize carry structure for restore
+    tr2.restore_full_state(restore_train_state(path, tr2.full_state()))
     m1 = tr.train_step(batch, key)
     m2 = tr2.train_step(batch, key)
     assert abs(m1["loss"] - m2["loss"]) < 1e-6
