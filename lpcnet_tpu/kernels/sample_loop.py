@@ -134,9 +134,12 @@ def _sample_kernel(n_samples, na, nb,
         exc_u = exc_out[:]                        # [BT, 1] int32
 
         wdt = emb_ref.dtype
-        oh = jnp.concatenate([
-            _onehot(sig_u, 256), _onehot(pred_u, 256), _onehot(exc_u, 256),
-        ], axis=1).astype(wdt)                    # [BT, 768]
+        # single 768-lane one-hot with three hot positions (avoids the
+        # concat relayout of three 256-wide one-hots)
+        l768 = jax.lax.broadcasted_iota(jnp.int32, (sig_u.shape[0], 768), 1)
+        oh = ((l768 == sig_u).astype(wdt)
+              + (l768 == pred_u + 256).astype(wdt)
+              + (l768 == exc_u + 512).astype(wdt))
         gate_a = conda_ref[:] + jnp.dot(oh, emb_ref[:],
                                         preferred_element_type=jnp.float32)
         h_a = ha_out[:]
