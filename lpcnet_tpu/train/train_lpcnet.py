@@ -174,7 +174,12 @@ class Trainer:
         self._host_step = int(self.state.step)
 
     def fit(self, loader, epochs: Optional[int] = None, log_every: int = 50,
-            checkpoint_path: Optional[str] = None):
+            checkpoint_path: Optional[str] = None, logdir: Optional[str] = None):
+        metrics_log = None
+        if logdir is not None:
+            from ..utils.profiling import MetricsLogger
+            import os as _os
+            metrics_log = MetricsLogger(_os.path.join(logdir, "lpcnet_metrics.jsonl"))
         from ..weights.checkpoint import save_checkpoint
         rng = jax.random.PRNGKey(123)
         epochs = epochs or self.tc.epochs
@@ -182,6 +187,8 @@ class Trainer:
             for i, batch in enumerate(loader):
                 rng, sub = jax.random.split(rng)
                 metrics = self.train_step(batch, sub)
+                if metrics_log is not None:
+                    metrics_log.log(step=self._host_step, epoch=epoch, **metrics)
                 if i % log_every == 0:
                     msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
                     print(f"epoch {epoch} step {i}: {msg}", flush=True)

@@ -124,13 +124,20 @@ class RDOVAETrainer:
         return {k: float(v) for k, v in metrics.items()}
 
     def fit(self, loader, epochs: Optional[int] = None, log_every: int = 20,
-            checkpoint_path: Optional[str] = None):
+            checkpoint_path: Optional[str] = None, logdir: Optional[str] = None):
+        metrics_log = None
+        if logdir is not None:
+            from ..utils.profiling import MetricsLogger
+            import os as _os
+            metrics_log = MetricsLogger(_os.path.join(logdir, "rdovae_metrics.jsonl"))
         from ..weights.checkpoint import flatten_tree
         rng = jax.random.PRNGKey(42)
         for epoch in range(epochs or self.tc.epochs):
             for i, batch in enumerate(loader):
                 rng, sub = jax.random.split(rng)
                 m = self.train_step(batch, sub)
+                if metrics_log is not None:
+                    metrics_log.log(step=i, epoch=epoch, **m)
                 if i % log_every == 0:
                     msg = " ".join(f"{k}={v:.4f}" for k, v in m.items())
                     print(f"rdovae epoch {epoch} step {i}: {msg}", flush=True)
