@@ -35,7 +35,6 @@ def _read_pcm(path):
 
 def _load_rdovae(path):
     if path.endswith(".npz"):
-        from .weights.checkpoint import load_checkpoint
         import numpy as _np
         d = _np.load(path)
         from .weights.checkpoint import unflatten_tree
@@ -112,7 +111,6 @@ def main(argv=None):
         # pcm -> latent symbols + decoder-init states (f32 files), mirroring
         # training_tf2/encode_rdovae.py
         import jax
-        from .codec.encoder import LPCNetEncoder
         from .dred.coder import DREDEncoder
         from .models import rdovae as RV
         pcm = _read_pcm(ns.args[0])

@@ -31,7 +31,6 @@ from ..dsp.constants import (
     TRAINING_OFFSET,
 )
 from ..dsp.lpc import lpc_from_cepstrum
-from ..dsp.precision import fdot
 
 EXC_BUF_SIZE = PITCH_MAX_PERIOD + FRAME_SIZE  # 416 live samples
 

@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..dsp.constants import NB_BANDS, NB_BANDS_1
+from ..dsp.constants import NB_BANDS
 
 SURVIVORS = 5
 

@@ -10,7 +10,7 @@ reconstructs 4 feature frames per latent, newest first.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 import jax

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from .constants import (
     FRAME_SIZE,
     LPC_ORDER,
-    NB_BANDS,
     PREEMPHASIS,
     WINDOW_SIZE,
 )

@@ -23,7 +23,6 @@ from .constants import (
     BAND_INTERP,
     COMPENSATION,
     DCT_MATRIX,
-    FREQ_SIZE,
     FULL_WINDOW,
     NB_BANDS,
     WINDOW_SIZE,

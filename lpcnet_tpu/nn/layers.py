@@ -20,7 +20,6 @@ HIGHEST to match float32 C numerics, training may pass DEFAULT for bf16 MXU.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax

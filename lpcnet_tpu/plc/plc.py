@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dsp.burg import burg_cepstral_analysis
-from ..dsp.constants import FRAME_SIZE, NB_BANDS, NB_FEATURES, PREEMPHASIS, TRAINING_OFFSET
+from ..dsp.constants import FRAME_SIZE, NB_BANDS, NB_FEATURES, TRAINING_OFFSET
 from ..codec import features as F
 from ..models import lpcnet as M
 from ..models import plc as PM

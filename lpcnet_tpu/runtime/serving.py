@@ -14,13 +14,12 @@ large-scale serving (the per-stream API remains available in lpcnet_tpu.api).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
-import jax.numpy as jnp
 
 from ..codec.decoder import LPCNetDecoder
-from ..dsp.constants import FRAME_SIZE, NB_TOTAL_FEATURES
+from ..dsp.constants import NB_TOTAL_FEATURES
 from ..models import lpcnet as M
 
 

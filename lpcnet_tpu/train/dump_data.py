@@ -98,7 +98,6 @@ def dump_data(speech: np.ndarray, features_out: str, pcm_out: str | None = None,
     if quantize:
         # -qtrain/-qtest: features go through the full 40 ms quantize path
         # (src/dump_data.c:288-293); chunks must be superframe-aligned
-        from .. import codec
         from ..codec.codebooks import load_codebooks
         from ..codec.encoder import encode_superframe
         cbs = load_codebooks()

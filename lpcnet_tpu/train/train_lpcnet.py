@@ -14,7 +14,6 @@ device -- no get_weights/set_weights host round trips.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -7,7 +7,6 @@ interchange used by the CLI and tests. Keys are '/'-joined paths.
 from __future__ import annotations
 
 import dataclasses
-import io
 import json
 from typing import Any, Dict
 

@@ -3,11 +3,9 @@
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from lpcnet_tpu.models import plc as PM
 from lpcnet_tpu.models import rdovae as RV
-from lpcnet_tpu.weights import blob as B
 from lpcnet_tpu.weights.aux_arrays import (
     load_plc_blob, load_rdovae_blob, save_plc_blob, save_rdovae_blob,
 )

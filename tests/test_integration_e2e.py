@@ -6,7 +6,6 @@ and a few steps. Checks plumbing, shapes, and file formats -- not quality.
 """
 
 import numpy as np
-import pytest
 
 import jax
 

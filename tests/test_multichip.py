@@ -1,0 +1,60 @@
+"""Multi-chip inference sharding: batched synthesis over a device mesh.
+
+Streams shard across chips on the batch axis (the same layout the serving
+fleet uses); parameters are replicated. Runs on the virtual 8-device CPU
+mesh (the scan path; the Pallas kernel is per-chip identical under
+shard_map on real hardware).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lpcnet_tpu.models import lpcnet as M
+from lpcnet_tpu.parallel import mesh as pmesh
+
+
+def test_sharded_synthesis():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 cpu devices")
+    mesh = pmesh.make_mesh(devs[:8])
+    cfg = M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=16,
+                         pitch_embed_dim=8)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+
+    b = 16   # 2 streams per device
+    feats = jax.random.normal(jax.random.PRNGKey(1), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    sstate = M.init_sample_state(b, cfg)
+
+    dsh = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    fused = jax.device_put(fused, repl)
+    fstate = jax.device_put(fstate, dsh)
+    sstate = jax.device_put(sstate, dsh)
+    feats = jax.device_put(feats, dsh)
+
+    @jax.jit
+    def step(fused, fstate, sstate, feats):
+        fstate, _, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+        sstate, pcm = M.synthesize_frame(fused, sstate, ca, cb, lpc)
+        return fstate, sstate, pcm
+
+    fstate, sstate, pcm = step(fused, fstate, sstate, feats)
+    # output keeps the batch sharding (no cross-chip traffic in the AR loop)
+    assert pcm.shape == (b, 160)
+    assert np.isfinite(np.asarray(pcm)).all()
+    shard_devs = {s.device for s in pcm.addressable_shards}
+    assert len(shard_devs) == 8, "synthesis did not stay batch-sharded"
+
+    # per-stream results must match the unsharded run exactly
+    fstate1 = M.init_frame_state(b, cfg)
+    sstate1 = M.init_sample_state(b, cfg)
+    with jax.default_device(devs[0]):
+        f2, _, ca, cb, lpc = M.frame_network(
+            jax.device_get(fused), fstate1, jax.device_get(feats), cfg)
+        _, pcm_ref = M.synthesize_frame(jax.device_get(fused), sstate1, ca, cb, lpc)
+    np.testing.assert_allclose(np.asarray(pcm), np.asarray(pcm_ref), atol=1.0)

@@ -1,7 +1,6 @@
 """Native runtime: parity with the Python implementations."""
 
 import numpy as np
-import pytest
 
 from lpcnet_tpu.runtime import native_available, runtime
 from lpcnet_tpu.codec import packet as P

@@ -1,7 +1,6 @@
 """RDO-VAE tests: shapes, streaming==sequence equivalence, loss decreases."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

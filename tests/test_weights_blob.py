@@ -5,7 +5,6 @@ fusion (this is the same guarantee the reference gets from its codegen)."""
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from lpcnet_tpu.models import lpcnet as M
 from lpcnet_tpu.weights import blob as B

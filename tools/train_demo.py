@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Demo-scale end-to-end training run on the local chip.
+
+Generates a synthetic-speech corpus, runs the dump_data augmentation
+pipeline, trains the default-architecture vocoder for a bounded number of
+steps with metrics logging, and exports npz + DNNw-blob checkpoints.
+Not a production recipe (real training uses hours of real speech); this
+produces a demonstrably-learning model and artifacts for the demo flow.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synth_corpus(seconds: float, seed: int = 0) -> np.ndarray:
+    """Speech-like corpus: several 'speakers' (pitch ranges/formant tracks)."""
+    rng = np.random.RandomState(seed)
+    total = int(seconds * 16000)
+    out = np.zeros(total, np.float64)
+    pos = 0
+    while pos < total:
+        dur = int(16000 * (1.5 + rng.rand() * 2.0))
+        n = min(dur, total - pos)
+        t = np.arange(n)
+        f0 = 80 + 150 * rng.rand()
+        vib = f0 * 0.05 * np.sin(2 * np.pi * t / 16000 * (4 + 2 * rng.rand()))
+        f0t = f0 + vib + f0 * 0.3 * np.sin(2 * np.pi * t / n * (0.5 + rng.rand()))
+        phase = np.cumsum(f0t / 16000)
+        pulses = (np.diff(np.floor(phase), prepend=0.0) > 0) * (400 + 400 * rng.rand())
+        voiced_gate = 0.5 + 0.5 * np.sign(np.sin(2 * np.pi * t / 16000 / (0.4 + rng.rand())))
+        exc = pulses * voiced_gate + rng.randn(n) * (30 + 120 * (1 - voiced_gate))
+        sig = np.zeros(n)
+        y1 = y2 = z1 = z2 = 0.0
+        fmt1 = 400 + 500 * rng.rand()
+        fmt2 = 1200 + 1200 * rng.rand()
+        a1 = 2 * 0.94 * np.cos(2 * np.pi * fmt1 / 16000)
+        a2 = 2 * 0.90 * np.cos(2 * np.pi * fmt2 / 16000)
+        for i in range(n):
+            v = exc[i] + a1 * y1 - 0.94 * 0.94 * y2
+            y2, y1 = y1, v
+            w = v + a2 * z1 - 0.90 * 0.90 * z2
+            z2, z1 = z1, w
+            sig[i] = w
+        env = 0.2 + 0.8 * np.clip(np.sin(2 * np.pi * t / 16000 / 1.1) * 2, 0, 1)
+        out[pos:pos + n] = sig * env
+        pos += n
+    out = out / np.max(np.abs(out)) * 9000
+    return np.round(out).astype(np.int16)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=240)
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--outdir", default="artifacts/train_demo")
+    ap.add_argument("--grua-size", type=int, default=384)
+    args = ap.parse_args()
+
+    os.makedirs(args.outdir, exist_ok=True)
+    fpath = os.path.join(args.outdir, "features.f32")
+    dpath = os.path.join(args.outdir, "data.s16")
+
+    if not os.path.exists(dpath):
+        print("generating corpus...", flush=True)
+        speech = synth_corpus(args.seconds)
+        speech.tofile(os.path.join(args.outdir, "corpus.s16"))
+        from lpcnet_tpu.train.dump_data import dump_data
+        t0 = time.time()
+        dump_data(speech, fpath, dpath, chunk_frames=800)
+        print(f"dump_data: {time.time() - t0:.1f}s", flush=True)
+
+    import jax
+
+    from lpcnet_tpu.models.lpcnet import LPCNetConfig
+    from lpcnet_tpu.train.data import LPCNetLoader
+    from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer
+    from lpcnet_tpu.weights.checkpoint import save_checkpoint
+    from lpcnet_tpu.weights.lpcnet_arrays import save_lpcnet_blob
+
+    cfg = LPCNetConfig(rnn_units1=args.grua_size)
+    tc = TrainConfig(batch_size=args.batch_size)
+    loader = LPCNetLoader(dpath, fpath, batch_size=args.batch_size)
+    print(f"{len(loader)} batches/epoch", flush=True)
+    trainer = Trainer(cfg, tc)
+
+    from lpcnet_tpu.utils.profiling import MetricsLogger
+    mlog = MetricsLogger(os.path.join(args.outdir, "metrics.jsonl"))
+    rng = jax.random.PRNGKey(1)
+    step = 0
+    t0 = time.time()
+    while step < args.steps:
+        for batch in loader:
+            rng, sub = jax.random.split(rng)
+            m = trainer.train_step(batch, sub)
+            step += 1
+            mlog.log(step=step, **m)
+            if step % 50 == 0:
+                print(f"step {step}: loss={m['loss']:.4f} "
+                      f"({step / (time.time() - t0):.2f} steps/s)", flush=True)
+            if step >= args.steps:
+                break
+        loader.on_epoch_end()
+
+    params = jax.device_get(trainer.state.params)
+    save_checkpoint(os.path.join(args.outdir, "model.npz"), params, cfg)
+    with open(os.path.join(args.outdir, "model.bin"), "wb") as f:
+        f.write(save_lpcnet_blob(params, cfg, quantize=False))
+    print("saved artifacts to", args.outdir, flush=True)
+
+
+if __name__ == "__main__":
+    main()
