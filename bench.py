@@ -62,10 +62,46 @@ def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
     return samples / dt
 
 
+def bench_encode(batch: int, n_super: int, warmup: int = 3):
+    """Feature extraction + full quantization throughput (superframes/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu.codec import features as F
+    from lpcnet_tpu.codec.codebooks import load_codebooks
+    from lpcnet_tpu.codec.encoder import encode_superframe
+
+    cbs = load_codebooks()
+    state = F.init_encoder_state(batch)
+    rng = np.random.RandomState(0)
+    pcm = jnp.asarray((rng.randn(batch, 640) * 3000).astype(np.float32))
+    step = jax.jit(lambda st, x: encode_superframe(st, x, cbs))
+    for _ in range(warmup):
+        state, feats, fields = step(state, pcm)
+    jax.tree.map(lambda x: x.block_until_ready(), fields)
+    t0 = time.perf_counter()
+    for _ in range(n_super):
+        state, feats, fields = step(state, pcm)
+    jax.tree.map(lambda x: x.block_until_ready(), fields)
+    dt = time.perf_counter() - t0
+    return batch * n_super * 640 / dt          # input samples/s
+
+
 def main():
     batch = int(os.environ.get("LPCNET_BENCH_BATCH", "256"))
     n_frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
     kernel = os.environ.get("LPCNET_BENCH_KERNEL", "pallas")
+    mode = os.environ.get("LPCNET_BENCH_MODE", "synthesis")
+    if mode == "encode":
+        sps = bench_encode(batch, max(n_frames // 4, 5))
+        baseline = 256 * 16000.0
+        print(json.dumps({
+            "metric": f"encode_samples_per_sec_chip_b{batch}",
+            "value": round(sps, 1), "unit": "samples/s",
+            "vs_baseline": round(sps / baseline, 4),
+            "streams": batch,
+        }))
+        return
     try:
         sps = bench_synthesis(batch, n_frames, kernel=kernel)
     except Exception as e:
