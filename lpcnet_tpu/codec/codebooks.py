@@ -104,3 +104,27 @@ def train_codebooks(features: np.ndarray, key=None, iters: int = 30) -> Codebook
 def _dist2(x, codes):
     return (jnp.sum(x * x, axis=1, keepdims=True) - 2.0 * x @ codes.T
             + jnp.sum(codes * codes, axis=1))
+
+
+def main(argv=None):
+    """CLI replacing the reference's offline VQ trainer (src/ceps_vq_train.c):
+    train codebooks from a feature file produced by dump_data."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="lpcnet_tpu.codec.codebooks")
+    ap.add_argument("features", help="f32 feature file (36 floats/frame)")
+    ap.add_argument("output", help="output .npz codebook file")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--max-frames", type=int, default=200000)
+    args = ap.parse_args(argv)
+
+    feats = np.fromfile(args.features, np.float32).reshape(-1, 36)
+    feats = feats[: args.max_frames]
+    cb = train_codebooks(feats, iters=args.iters)
+    save_codebooks(args.output, cb)
+    print(f"trained codebooks from {len(feats)} frames -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -42,3 +42,23 @@ def shard_batch(mesh: Mesh, tree):
     """Place a host batch pytree with the leading axis sharded over devices."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Multi-host startup: initialize the JAX distributed runtime so the
+    mesh spans all hosts of a TPU pod slice (gradients then reduce over ICI
+    within a slice and DCN across slices automatically).
+
+    No-op when running single-process. Call before make_mesh().
+    """
+    import jax
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # already initialized or single-process
+        if "already" not in str(e).lower():
+            raise
