@@ -23,12 +23,7 @@ from .codebooks import Codebooks, load_codebooks
 def encode_superframe(state: F.EncoderState, pcm, cbs: Codebooks
                       ) -> Tuple[F.EncoderState, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One 40 ms superframe: pcm [B, 640] -> (state, features_q, wire fields)."""
-    feats = []
-    for k in range(4):
-        state, f = F.frame_features_step(
-            state, pcm[..., k * FRAME_SIZE:(k + 1) * FRAME_SIZE], k)
-        feats.append(f)
-    feats = jnp.stack(feats, axis=-2)                 # [B, 4, 36]
+    state, feats = F._superframe_analysis_batched(state, pcm)
 
     from ..dsp import pitch as pitch_mod
     w = F._normalized_weights(state.frame_weight, 2, 8)

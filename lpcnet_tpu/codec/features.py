@@ -174,12 +174,7 @@ def compute_features_superframe(state: EncoderState, pcm
     Args: pcm [B, 640] float. Returns (state, features [B, 4, 36]).
     Matches lpcnet_compute_features (src/lpcnet_enc.c:895-909).
     """
-    feats = []
-    for k in range(4):
-        state, f = frame_features_step(
-            state, pcm[..., k * FRAME_SIZE:(k + 1) * FRAME_SIZE], k)
-        feats.append(f)
-    feats = jnp.stack(feats, axis=-2)                      # [B, 4, 36]
+    state, feats = _superframe_analysis_batched(state, pcm)
     state, period_feat, corr = superframe_pitch(state)
     feats = feats.at[..., NB_BANDS].set(period_feat)
     feats = feats.at[..., NB_BANDS + 1].set(corr[..., None] - 0.5)
@@ -234,3 +229,77 @@ def compute_single_frame_features_seq(state: EncoderState, pcm):
 
     state, feats = jax.lax.scan(step, state, jnp.moveaxis(frames, 1, 0))
     return state, jnp.moveaxis(feats, 0, 1)
+
+
+# --------------------------------------------------------------------------
+# Batched superframe analysis (performance path)
+# --------------------------------------------------------------------------
+
+def _superframe_analysis_batched(state: EncoderState, pcm):
+    """All four 10 ms frames of a superframe in batched ops.
+
+    Equivalent to four frame_features_step calls (same state evolution) but
+    with one FFT batch, one Levinson batch, one excitation einsum over 640
+    samples, and one [8-way] correlation matmul -- the per-frame Python loop
+    only survives in the single-frame streaming API.
+
+    Args: pcm [B, 640] raw float PCM.
+    Returns (new_state, feats [B, 4, 36]) with pitch columns zeroed.
+    """
+    b = pcm.shape[0]
+    x, new_preemph = preemphasis(pcm, state.mem_preemph)    # [B, 640]
+
+    # 4 overlapping 320-sample windows from [analysis_mem | x]
+    ext = jnp.concatenate([state.analysis_mem, x], axis=-1)  # [B, 800]
+    widx = (jnp.arange(4)[:, None] * FRAME_SIZE
+            + jnp.arange(2 * FRAME_SIZE)[None, :])           # [4, 320]
+    wins = ext[:, widx]                                      # [B, 4, 320]
+    spec = spectrum.forward_transform(spectrum.apply_window(wins))
+    band_e = spectrum.compute_band_energy(spec)
+    ceps = spectrum.cepstrum_from_band_energy(band_e)        # [B, 4, 18]
+    lpc = lpc_from_cepstrum(ceps)                            # [B, 4, 16]
+
+    # half-frame-aligned signal: aligned_k = ext2[k*160 : k*160+160]
+    ext2 = jnp.concatenate(
+        [state.analysis_mem[..., OVERLAP_SIZE - TRAINING_OFFSET:],
+         x[..., : 4 * FRAME_SIZE - TRAINING_OFFSET]], axis=-1)  # [B, 720]
+    # excitation FIR: s[t] = a[t] + sum_j lpc[frame(t), j] * a[t-1-j]
+    hist = jnp.concatenate([jnp.flip(state.pitch_mem, axis=-1), ext2], axis=-1)
+    tidx = (jnp.arange(4 * FRAME_SIZE)[:, None]
+            + jnp.arange(LPC_ORDER + 1)[None, :])            # [640, 17]
+    awins = hist[:, tidx]                                    # [B, 640, 17]
+    coeffs = jnp.concatenate(
+        [jnp.flip(lpc, axis=-1), jnp.ones_like(lpc[..., :1])], axis=-1)
+    coeffs_rep = jnp.repeat(coeffs, FRAME_SIZE, axis=1)      # [B, 640, 17]
+    s = jnp.einsum("btk,btk->bt", awins, coeffs_rep,
+                   precision=jax.lax.Precision.HIGHEST)
+    s_prev = jnp.concatenate([state.pitch_filt[..., None], s[..., :-1]], axis=-1)
+    exc = s + 0.7 * s_prev                                   # [B, 640]
+
+    full_exc = jnp.concatenate([state.exc_buf, exc], axis=-1)  # [B, 1056]
+    # per-frame live excitation buffers (416 samples ending at frame end)
+    bidx = ((jnp.arange(4)[:, None] + 1) * FRAME_SIZE
+            + jnp.arange(EXC_BUF_SIZE)[None, :])             # [4, 416]
+    exc_views = full_exc[:, bidx]                            # [B, 4, 416]
+
+    def xc_both(ebuf):
+        xc0, w0 = pitch_mod.half_frame_xcorr(ebuf, 0)
+        xc1, w1 = pitch_mod.half_frame_xcorr(ebuf, TRAINING_OFFSET)
+        return jnp.stack([xc0, xc1]), jnp.stack([w0, w1])
+
+    xcs, ws = jax.vmap(jax.vmap(xc_both))(exc_views)         # [B,4,2,256],[B,4,2]
+    xc_new = state.xc.at[:, 2:10].set(xcs.reshape(b, 8, -1))
+    fw_new = state.frame_weight.at[:, 2:10].set(ws.reshape(b, 8))
+
+    feats = jnp.zeros((b, 4, NB_TOTAL_FEATURES), jnp.float32)
+    feats = feats.at[..., :NB_BANDS].set(ceps)
+    feats = feats.at[..., NB_BANDS + 2:].set(lpc)
+
+    new_state = state._replace(
+        analysis_mem=x[..., -OVERLAP_SIZE:],
+        mem_preemph=new_preemph,
+        pitch_mem=jnp.flip(ext2[..., -LPC_ORDER:], axis=-1),
+        pitch_filt=s[..., -1],
+        exc_buf=full_exc[..., -EXC_BUF_SIZE:],
+        xc=xc_new, frame_weight=fw_new)
+    return new_state, feats
