@@ -25,17 +25,36 @@ from ..dsp.constants import NB_BANDS
 SURVIVORS = 5
 
 
-def _dists(x, codebook):
-    """Squared euclidean distances of x [d] to each codebook row [n, d]."""
-    diff = x[None, :] - codebook
-    return jnp.sum(diff * diff, axis=-1)
+def _dists(x, codebook, cb_sq=None):
+    """Squared euclidean distances of x [..., d] to codebook rows [n, d].
+
+    Matmul form (|x|^2 - 2 x.cb + |cb|^2): one MXU GEMM instead of
+    materializing [..., n, d] difference tensors.
+    """
+    if cb_sq is None:
+        cb_sq = jnp.sum(codebook * codebook, axis=-1)
+    xsq = jnp.sum(x * x, axis=-1, keepdims=True)
+    cross = jnp.matmul(x, codebook.T, precision=jax.lax.Precision.HIGHEST)
+    return xsq - 2.0 * cross + cb_sq
+
+
+def _top_m_small(d, m: int):
+    """Smallest-m with first-index tie-breaking via iterative argmin
+    (faster than lax.top_k for tiny m on TPU; identical ordering)."""
+    vals, idxs = [], []
+    for _ in range(m):
+        i = jnp.argmin(d, axis=-1)
+        v = jnp.take_along_axis(d, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        d = d + (jax.nn.one_hot(i, d.shape[-1], dtype=d.dtype) * jnp.inf)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
 def vq_mbest(codebook, x, m: int = SURVIVORS):
     """m best codewords, ascending distance (vq_quantize_mbest, :53-78)."""
     d = _dists(x, codebook)
-    neg, idx = jax.lax.top_k(-d, m)
-    return -neg, idx
+    return _top_m_small(d, m)
 
 
 def _beam_merge(flat_d, m: int = SURVIVORS):
@@ -52,18 +71,16 @@ def quantize_3stage_mbest(x, cb1, cb2, cb3):
     """
     _, i1 = vq_mbest(cb1, x)                          # [S]
     r1 = x[None, :] - cb1[i1]                         # [S, 17]
-    d2 = jax.vmap(lambda r: _dists(r, cb2))(r1)       # [S, 1024]
-    d2_top, i2_top = jax.lax.top_k(-d2, SURVIVORS)    # [S, S]
-    d2_top = -d2_top
+    d2 = _dists(r1, cb2)                              # [S, 1024]
+    d2_top, i2_top = _top_m_small(d2, SURVIVORS)      # [S, S]
     sel = _beam_merge(d2_top.reshape(-1))
     k2 = sel // SURVIVORS
     pair1 = i1[k2]
     pair2 = i2_top.reshape(-1)[sel]
 
     r2 = x[None, :] - cb1[pair1] - cb2[pair2]         # [S, 17]
-    d3 = jax.vmap(lambda r: _dists(r, cb3))(r2)
-    d3_top, i3_top = jax.lax.top_k(-d3, SURVIVORS)
-    d3_top = -d3_top
+    d3 = _dists(r2, cb3)
+    d3_top, i3_top = _top_m_small(d3, SURVIVORS)
     sel3 = _beam_merge(d3_top.reshape(-1))
     k3 = sel3[0] // SURVIVORS
     b1 = pair1[k3]
@@ -87,15 +104,24 @@ def quantize_diff(x, left, right, codebook, bits: int = 12):
     """
     preds = _interp_preds(left, right)                # [4, 18]
     n = codebook.shape[0]
-    pred_per_entry = preds[jnp.arange(n) & 3]         # [n, 18]
-    target = x[None, :] - pred_per_entry
-    d_pos = jnp.sum((target - codebook) ** 2, axis=-1)
-    d_neg = jnp.sum((target + codebook) ** 2, axis=-1)
+    # distances in grouped matmul form: entries with (i&3)==g share the
+    # predictor, so d_i = |t_g|^2 -+ 2 t_g.cb_i + |cb_i|^2 with
+    # t_g = x - preds[g]; one [4,18]x[18,n] GEMM covers every entry
+    t = x[None, :] - preds                            # [4, 18]
+    cb_sq = jnp.sum(codebook * codebook, axis=-1)     # [n]
+    cross = jnp.matmul(t, codebook.T,
+                       precision=jax.lax.Precision.HIGHEST)  # [4, n]
+    tsq = jnp.sum(t * t, axis=-1)                     # [4]
+    group = jnp.arange(n) & 3
+    cross_g = jnp.take_along_axis(cross, group[None, :], axis=0)[0]
+    tsq_g = tsq[group]
+    d_pos = tsq_g - 2.0 * cross_g + cb_sq
+    d_neg = tsq_g + 2.0 * cross_g + cb_sq
     d_all = jnp.concatenate([d_pos, d_neg])
     entry = jnp.argmin(d_all).astype(jnp.int32)
     idx = entry & (n - 1)
     sign = jnp.where(entry >= n, -1.0, 1.0)
-    recon = pred_per_entry[idx] + sign * codebook[idx]
+    recon = preds[idx & 3] + sign * codebook[idx]
     return entry, recon
 
 
