@@ -60,19 +60,8 @@ class Synthesizer:
             fused, cfg = load_model(model_path)
         self.cfg = cfg or M.LPCNetConfig()
         self.batch = batch
-        self._dec = LPCNetDecoder.__new__(LPCNetDecoder)  # reuse its synth glue
-        d = self._dec
-        d.cfg = self.cfg
-        d.batch = batch
-        d.cbs = None
-        d.fused = fused
-        d._kw = None
-        import jax as _jax
-        if _jax.default_backend() != "cpu" and batch >= 64:
-            from .kernels.sample_loop import kernel_weights as _mk_kw
-            d._kw = _mk_kw(fused, self.cfg)
-        d.frame_state = M.init_frame_state(batch, self.cfg)
-        d.sample_state = M.init_sample_state(batch, self.cfg)
+        self._dec = LPCNetDecoder.from_fused(fused, self.cfg, batch,
+                                             with_codebooks=False)
 
     def synthesize(self, features: np.ndarray) -> np.ndarray:
         """[B, 36] (or [B, >=20]) one frame of features -> [B, 160] int16."""

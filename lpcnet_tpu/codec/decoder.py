@@ -96,6 +96,35 @@ def _synthesize_one_frame(fused, cfg, fstate, sstate, feats, preload=None,
 class LPCNetDecoder:
     """Stateful batched decoder (packets -> audio), cf. LPCNetDecState."""
 
+    @classmethod
+    def from_fused(cls, fused, cfg: M.LPCNetConfig, batch: int = 1,
+                   use_pallas: bool | None = None,
+                   with_codebooks: bool = True):
+        """Construct directly from fused inference params (skips re-fusing).
+
+        with_codebooks=False builds a synthesis-only instance (no packet
+        decoding) -- used by api.Synthesizer."""
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.batch = batch
+        self.cbs = load_codebooks() if with_codebooks else None
+        self.fused = fused
+        if use_pallas is None:
+            import jax as _jax
+            use_pallas = (_jax.default_backend() != "cpu" and batch >= 64)
+        self._kw = None
+        if use_pallas:
+            from ..kernels.sample_loop import kernel_weights as _mk_kw
+            self._kw = _mk_kw(fused, cfg)
+        self.vq_mem = jnp.zeros((batch, NB_BANDS), jnp.float32)
+        self.frame_state = M.init_frame_state(batch, cfg)
+        self.sample_state = M.init_sample_state(batch, cfg)
+        if with_codebooks:
+            self._decode_feats = jax.jit(
+                lambda fields, vq: decode_packet_features(fields, vq, self.cbs))
+            self._synth = jax.jit(self._synth_packet)
+        return self
+
     def __init__(self, params, cfg: M.LPCNetConfig, batch: int = 1,
                  codebooks: Codebooks | None = None, fused: bool = False,
                  use_pallas: bool | None = None):

@@ -23,10 +23,10 @@ from .codebooks import Codebooks, load_codebooks
 def encode_superframe(state: F.EncoderState, pcm, cbs: Codebooks
                       ) -> Tuple[F.EncoderState, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One 40 ms superframe: pcm [B, 640] -> (state, features_q, wire fields)."""
-    state, feats = F._superframe_analysis_batched(state, pcm)
+    state, feats = F.superframe_analysis(state, pcm)
 
     from ..dsp import pitch as pitch_mod
-    w = F._normalized_weights(state.frame_weight, 2, 8)
+    w = F.normalized_frame_weights(state.frame_weight, 2, 8)
     xcs = jax.vmap(jax.vmap(pitch_mod.octave_suppress))(state.xc[:, 2:10])
     carry, periods, corr = jax.vmap(pitch_mod.viterbi_track)(state.viterbi, xcs, w)
     corr = jnp.maximum(corr, 0.0)                     # quantize path clamp

@@ -140,7 +140,7 @@ def frame_features_step(state: EncoderState, frame, pcount: int
     return new_state, feats
 
 
-def _normalized_weights(fw, lo: int, n: int):
+def normalized_frame_weights(fw, lo: int, n: int):
     w = fw[..., lo: lo + n]
     return w * (n / (1e-15 + jnp.sum(w, axis=-1, keepdims=True)))
 
@@ -150,7 +150,7 @@ def superframe_pitch(state: EncoderState):
     src/lpcnet_enc.c:602-700): returns (new_state, periods [B,4] float,
     frame_corr [B]). Also rotates the xc ring and updates Viterbi carry.
     """
-    w = _normalized_weights(state.frame_weight, 2, 8)      # [B, 8]
+    w = normalized_frame_weights(state.frame_weight, 2, 8)      # [B, 8]
     xcs = jax.vmap(jax.vmap(pitch_mod.octave_suppress))(state.xc[:, 2:10])
 
     carry, periods, corr = jax.vmap(pitch_mod.viterbi_track)(
@@ -174,7 +174,7 @@ def compute_features_superframe(state: EncoderState, pcm
     Args: pcm [B, 640] float. Returns (state, features [B, 4, 36]).
     Matches lpcnet_compute_features (src/lpcnet_enc.c:895-909).
     """
-    state, feats = _superframe_analysis_batched(state, pcm)
+    state, feats = superframe_analysis(state, pcm)
     state, period_feat, corr = superframe_pitch(state)
     feats = feats.at[..., NB_BANDS].set(period_feat)
     feats = feats.at[..., NB_BANDS + 1].set(corr[..., None] - 0.5)
@@ -204,7 +204,7 @@ def compute_single_frame_features(state: EncoderState, frame
     Args: frame [B, 160] raw float PCM. Returns (state, features [B, 36]).
     """
     state, feats = frame_features_step(state, frame, 0)
-    w = _normalized_weights(state.frame_weight, 2, 2)
+    w = normalized_frame_weights(state.frame_weight, 2, 2)
     xcs = jax.vmap(jax.vmap(pitch_mod.octave_suppress))(state.xc[:, 2:4])
     carry, periods, corr = jax.vmap(pitch_mod.viterbi_track)(
         state.viterbi, xcs, w)
@@ -235,7 +235,7 @@ def compute_single_frame_features_seq(state: EncoderState, pcm):
 # Batched superframe analysis (performance path)
 # --------------------------------------------------------------------------
 
-def _superframe_analysis_batched(state: EncoderState, pcm):
+def superframe_analysis(state: EncoderState, pcm):
     """All four 10 ms frames of a superframe in batched ops.
 
     Equivalent to four frame_features_step calls (same state evolution) but

@@ -156,7 +156,7 @@ class PLC:
             return self._update_non_causal(pcm)
         return self._update_causal(pcm)
 
-    def conceal(self, pcm_out_shape_only=None) -> np.ndarray:
+    def conceal(self) -> np.ndarray:
         if self.non_causal:
             return self._conceal_non_causal()
         return self._conceal_causal()
