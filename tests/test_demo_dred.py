@@ -21,10 +21,8 @@ def test_demo_dred_roundtrip():
     params, _ = load_checkpoint(DEMO)
     params = jax.tree.map(lambda x: x.astype("float32"), params)
     cfg = RV.RDOVAEConfig()
-    rng = np.random.RandomState(0)
-    # smooth feature-like trajectories
-    feats = np.cumsum(rng.randn(120, 20) * 0.1, axis=0).astype(np.float32)
-    feats = np.clip(feats, -2, 2)
+    feats = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                 "demo_features.npy"))[:120]
     enc = DREDEncoder(params, cfg, batch=1)
     for f in feats:
         enc.add_feature_frame(f[None])
