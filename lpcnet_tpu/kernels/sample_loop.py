@@ -134,8 +134,8 @@ def _sample_kernel(n_samples, na, nb,
         exc_u = exc_out[:]                        # [BT, 1] int32
 
         wdt = emb_ref.dtype
-        # single 768-lane one-hot with three hot positions (avoids the
-        # concat relayout of three 256-wide one-hots)
+        # single 768-lane one-hot with three hot positions (data-dependent
+        # row gathers don't vectorize in Mosaic; one-hot contraction does)
         l768 = jax.lax.broadcasted_iota(jnp.int32, (sig_u.shape[0], 768), 1)
         oh = ((l768 == sig_u).astype(wdt)
               + (l768 == pred_u + 256).astype(wdt)
