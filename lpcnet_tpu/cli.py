@@ -71,7 +71,7 @@ def main(argv=None):
         data = np.fromfile(ns.args[0], dtype=np.uint8)
         n = len(data) // LPCNET_COMPRESSED_SIZE
         dec = api.lpcnet_decoder_create(ns.model)
-        out = []
+        out = [np.zeros(0, np.int16)]
         for t in range(n):
             out.append(api.lpcnet_decode(
                 dec, data[t * 8:(t + 1) * 8]))
