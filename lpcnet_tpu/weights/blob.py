@@ -100,8 +100,15 @@ def decode_sparse(weights: np.ndarray, idx: np.ndarray, rows: int, cols: int
     idx = idx.astype(np.int64)
     while pos < len(idx):
         nb_blocks = int(idx[pos]); pos += 1
+        # validation mirrors find_idx_check (src/parse_lpcnet_weights.c:90-113)
+        if nb_blocks < 0 or pos + nb_blocks > len(idx):
+            raise ValueError("corrupt sparse index stream")
         for _ in range(nb_blocks):
             row = int(idx[pos]); pos += 1
+            if row % 4 or row + 4 > rows:
+                raise ValueError(f"bad sparse block row {row}")
+            if wpos + 32 > len(weights):
+                raise ValueError("sparse weight stream too short")
             block = weights[wpos: wpos + 32]
             wpos += 32
             if qw:

@@ -86,3 +86,18 @@ def test_blob_quantized_loads():
     # int8-encoded recurrent weights decode to the 1/128 grid
     r = np.asarray(fused["gru_b_rec"]["recurrent"])
     assert np.allclose(r * 128, np.round(r * 128), atol=1e-4)
+
+
+def test_sparse_decode_rejects_corrupt():
+    rng = np.random.RandomState(5)
+    dense = rng.randn(16, 24).astype(np.float32)
+    w, idx = B.encode_sparse(dense)
+    import pytest
+    bad = idx.copy(); bad[0] = 1000
+    with pytest.raises(ValueError):
+        B.decode_sparse(w, bad, 16, 24)
+    bad = idx.copy()
+    # find a row entry (nonzero position after a count) and corrupt alignment
+    bad[1] = 3
+    with pytest.raises(ValueError):
+        B.decode_sparse(w, bad, 16, 24)
