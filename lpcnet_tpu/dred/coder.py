@@ -67,9 +67,10 @@ class DREDEncoder:
         if len(self.latents) < n_lat:
             return None
         z = jnp.asarray(np.stack(self.latents[-n_lat:], axis=1))  # [B, L, 80]
+        # oldest latent (index 0) -> coarsest level q1, newest -> q0,
+        # matching torch/rdovae/fec_encoder.py:125-127
         q_ids = np.round(q1 + (q0 - q1) * np.arange(n_lat) / (n_lat - 1)
-                         ).astype(np.int32)[::-1].copy()
-        # oldest latent -> coarsest level (q1), newest -> q0
+                         ).astype(np.int32)
         zq, rates = quantize_latents(self.params, z, jnp.asarray(q_ids), self.cfg)
         state = jnp.asarray(self.init_states[-1])
         bits = 8 * jnp.ceil((jnp.sum(rates, axis=(-1,)) + 7 + RV.pvq_state_bits(self.cfg)) / 8)

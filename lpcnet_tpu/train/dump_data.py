@@ -55,9 +55,13 @@ class AugmentationState:
             t1, t2 = r.rand(), r.rand()
             self.noise_std = abs(-1.5 * np.log(1e-4 + t1) - 0.5 * np.log(1e-4 + t2))
 
-    def process_frame(self, frame: np.ndarray) -> np.ndarray:
-        """HP filter + random response + gain ramp for one 160-sample frame."""
-        self.maybe_change()
+    def process_frame(self, frame: np.ndarray, training: bool = True
+                      ) -> np.ndarray:
+        """HP filter (always) + random response/gain ramp (training only),
+        matching src/dump_data.c:246-265 where only the randomization is
+        gated on training mode."""
+        if training:
+            self.maybe_change()
         x = runtime.biquad(frame.astype(np.float32), HP_B, HP_A, self.mem_hp)
         x = runtime.biquad(x, self.b_sig, self.a_sig, self.mem_resp)
         f = np.arange(FRAME_SIZE, dtype=np.float32) / FRAME_SIZE
@@ -139,7 +143,7 @@ def dump_data(speech: np.ndarray, features_out: str, pcm_out: str | None = None,
         noise_stds = np.empty(n, np.float32)
         proc = np.empty_like(frames)
         for k in range(n):
-            proc[k] = aug.process_frame(frames[k]) if training else frames[k]
+            proc[k] = aug.process_frame(frames[k], training=training)
             noise_stds[k] = aug.noise_std
         if burg:
             from ..dsp.burg import burg_cepstral_analysis
@@ -151,8 +155,8 @@ def dump_data(speech: np.ndarray, features_out: str, pcm_out: str | None = None,
         y = flat - PREEMPHASIS * prev
         y[0] = flat[0] + mem_preemph[0]
         mem_preemph[0] = -PREEMPHASIS * flat[-1]
-        if training:
-            y = y + (rng.rand(len(y)) - 0.5).astype(np.float32)
+        # the reference dithers unconditionally (src/dump_data.c:272)
+        y = y + (rng.rand(len(y)) - 0.5).astype(np.float32)
         proc = y.reshape(n, FRAME_SIZE)
 
         # half-frame-delayed pcm alignment (src/dump_data.c:273-274,297)
