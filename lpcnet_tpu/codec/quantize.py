@@ -42,12 +42,13 @@ def _top_m_small(d, m: int):
     """Smallest-m with first-index tie-breaking via iterative argmin
     (faster than lax.top_k for tiny m on TPU; identical ordering)."""
     vals, idxs = [], []
+    lanes = jnp.arange(d.shape[-1])
     for _ in range(m):
         i = jnp.argmin(d, axis=-1)
         v = jnp.take_along_axis(d, i[..., None], axis=-1)[..., 0]
         vals.append(v)
         idxs.append(i)
-        d = d + (jax.nn.one_hot(i, d.shape[-1], dtype=d.dtype) * jnp.inf)
+        d = jnp.where(lanes == i[..., None], jnp.inf, d)
     return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
