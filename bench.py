@@ -35,27 +35,34 @@ def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
     rng = np.random.RandomState(0)
     feats = jnp.asarray(rng.randn(batch, 36).astype(np.float32) * 0.3)
 
+    # NOTE: weights ride as jit ARGUMENTS and timing syncs via a host value
+    # fetch -- closure constants serialize dispatch on the axon backend and
+    # block_until_ready under-synchronizes there (see NOTES.md).
     if kernel == "pallas":
         from lpcnet_tpu.kernels import sample_loop as K
         kw = K.kernel_weights(fused, cfg)
 
         @jax.jit
-        def step(fs, ss, f):
+        def step(fs, ss, f, fused, kw):
             fs, _, ca, cb, lpc = M.frame_network(fused, fs, f, cfg)
             ss, pcm = K.synthesize_frame_pallas(kw, ss, ca, cb, lpc, cfg)
             return fs, ss, pcm
+
+        run = lambda fs, ss: step(fs, ss, feats, fused, kw)
     else:
-        step = jax.jit(lambda fs, ss, f: _synthesize_one_frame(fused, cfg, fs, ss, f))
+        step = jax.jit(lambda fs, ss, f, fused: _synthesize_one_frame(
+            fused, cfg, fs, ss, f))
+        run = lambda fs, ss: step(fs, ss, feats, fused)
 
     # warmup + state priming
     for _ in range(warmup_frames):
-        fstate, sstate, pcm = step(fstate, sstate, feats)
-    pcm.block_until_ready()
+        fstate, sstate, pcm = run(fstate, sstate)
+    np.asarray(pcm[0, :4])
 
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        fstate, sstate, pcm = step(fstate, sstate, feats)
-    pcm.block_until_ready()
+        fstate, sstate, pcm = run(fstate, sstate)
+    np.asarray(pcm[0, :4])     # hard sync: waits for the whole chain
     dt = time.perf_counter() - t0
 
     samples = batch * n_frames * 160
@@ -75,14 +82,14 @@ def bench_encode(batch: int, n_super: int, warmup: int = 3):
     state = F.init_encoder_state(batch)
     rng = np.random.RandomState(0)
     pcm = jnp.asarray((rng.randn(batch, 640) * 3000).astype(np.float32))
-    step = jax.jit(lambda st, x: encode_superframe(st, x, cbs))
+    step = jax.jit(encode_superframe)
     for _ in range(warmup):
-        state, feats, fields = step(state, pcm)
-    jax.tree.map(lambda x: x.block_until_ready(), fields)
+        state, feats, fields = step(state, pcm, cbs)
+    np.asarray(fields["c0_id"])
     t0 = time.perf_counter()
     for _ in range(n_super):
-        state, feats, fields = step(state, pcm)
-    jax.tree.map(lambda x: x.block_until_ready(), fields)
+        state, feats, fields = step(state, pcm, cbs)
+    np.asarray(fields["c0_id"])   # hard sync
     dt = time.perf_counter() - t0
     return batch * n_super * 640 / dt          # input samples/s
 

@@ -144,8 +144,7 @@ class LPCNetDecoder:
         self.vq_mem = jnp.zeros((batch, NB_BANDS), jnp.float32)
         self.frame_state = M.init_frame_state(batch, cfg)
         self.sample_state = M.init_sample_state(batch, cfg)
-        self._decode_feats = jax.jit(
-            lambda fields, vq: decode_packet_features(fields, vq, self.cbs))
+        self._decode_feats = jax.jit(decode_packet_features)
         self._synth = jax.jit(self._synth_packet)
 
     def _synth_packet(self, fstate, sstate, feats):
@@ -160,7 +159,7 @@ class LPCNetDecoder:
     def decode(self, packets: np.ndarray) -> np.ndarray:
         """packets [B, 8] uint8 -> pcm [B, 640] int16."""
         fields = {k: jnp.asarray(v) for k, v in P.unpack_fields(packets).items()}
-        feats, self.vq_mem = self._decode_feats(fields, self.vq_mem)
+        feats, self.vq_mem = self._decode_feats(fields, self.vq_mem, self.cbs)
         self.frame_state, self.sample_state, pcm = self._synth(
             self.frame_state, self.sample_state, feats)
         return np.asarray(pcm).astype(np.int16)

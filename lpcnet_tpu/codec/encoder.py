@@ -79,14 +79,16 @@ class LPCNetEncoder:
         self.batch = batch
         self.cbs = codebooks or load_codebooks()
         self.state = F.init_encoder_state(batch)
-        self._encode = jax.jit(
-            lambda st, pcm: encode_superframe(st, pcm, self.cbs))
+        # NOTE: codebooks ride as pytree ARGUMENTS, not jit closure
+        # constants -- embedded-constant executables serialize dispatch on
+        # the axon backend (~30 ms/call penalty; see NOTES.md)
+        self._encode = jax.jit(encode_superframe)
         self._features = jax.jit(F.compute_features)
 
     def encode(self, pcm: np.ndarray) -> np.ndarray:
         """pcm [B, 640] int16/float -> [B, 8] uint8 packets."""
         pcm = jnp.asarray(np.asarray(pcm, np.float32))
-        self.state, _, fields = self._encode(self.state, pcm)
+        self.state, _, fields = self._encode(self.state, pcm, self.cbs)
         return P.pack_fields({k: np.asarray(v) for k, v in fields.items()})
 
     def compute_features(self, pcm: np.ndarray) -> np.ndarray:
