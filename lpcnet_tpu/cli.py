@@ -48,12 +48,17 @@ def main(argv=None):
     ap = argparse.ArgumentParser(prog="lpcnet_tpu")
     ap.add_argument("mode", choices=["encode", "decode", "features",
                                      "synthesis", "plc", "addlpc",
-                                     "dred-encode", "dred-decode"])
+                                     "dred-encode", "dred-decode",
+                                     "dred-payload", "dred-payload-decode"])
     ap.add_argument("args", nargs="+")
     ap.add_argument("--model", default=None,
                     help="model weights (.npz checkpoint or DNNw .bin blob)")
     ap.add_argument("--batch", type=int, default=1,
                     help="process the file as B interleaved independent streams")
+    ap.add_argument("--dred-frames", type=int, default=52,
+                    help="redundancy depth in 10ms frames for dred-payload")
+    ap.add_argument("--q0", type=int, default=9)
+    ap.add_argument("--q1", type=int, default=15)
     ns = ap.parse_args(argv)
 
     if ns.mode == "encode":
@@ -144,6 +149,49 @@ def main(argv=None):
         feats = dec.decode_all(zsel, np.zeros(zsel.shape[1], np.int32), st[:, -1])
         feats[0].astype(np.float32).tofile(ns.args[1])
         print(f"dred-decode: {feats.shape[1]} feature frames")
+
+    elif ns.mode == "dred-payload":
+        # pcm -> one entropy-coded redundancy payload (an actual bitstream,
+        # the part the reference delegates to its downstream consumer)
+        import jax
+        from .dred.coder import DREDEncoder
+        from .models import rdovae as RV
+        pcm = _read_pcm(ns.args[0])
+        params = (RV.init_params(jax.random.PRNGKey(0), RV.RDOVAEConfig())
+                  if ns.model is None else _load_rdovae(ns.model))
+        enc = api.lpcnet_encoder_create()
+        dred = DREDEncoder(params)
+        n = len(pcm) // FRAME_SIZE
+        for t in range(n):
+            f = api.lpcnet_compute_single_frame_features(
+                enc, pcm[t * FRAME_SIZE:(t + 1) * FRAME_SIZE])
+            dred.add_feature_frame(f[None, :20])
+        out = dred.produce_payload(num_redundancy_frames=ns.dred_frames,
+                                   q0=ns.q0, q1=ns.q1)
+        if out is None:
+            print("input too short for requested redundancy depth")
+            return 1
+        payload = out["payloads"][0]
+        with open(ns.args[1], "wb") as f:
+            f.write(payload)
+        kbps = len(payload) * 8 / (ns.dred_frames * 0.010) / 1000
+        print(f"dred-payload: {len(payload)} bytes covering "
+              f"{ns.dred_frames * 10} ms ({kbps:.2f} kbps redundancy)")
+
+    elif ns.mode == "dred-payload-decode":
+        import jax
+        from .dred.coder import DREDDecoder
+        from .models import rdovae as RV
+        cfg = RV.RDOVAEConfig()
+        params = (RV.init_params(jax.random.PRNGKey(0), cfg)
+                  if ns.model is None else _load_rdovae(ns.model))
+        with open(ns.args[0], "rb") as f:
+            payload = f.read()
+        dec = DREDDecoder(params, cfg)
+        feats = dec.decode_payload(payload)
+        feats[0].astype(np.float32).tofile(ns.args[1])
+        print(f"dred-payload-decode: {feats.shape[1]} feature frames "
+              f"(newest first)")
 
     elif ns.mode == "plc":
         from .plc.driver import run_plc_file

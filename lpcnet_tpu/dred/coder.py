@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import rdovae as RV
+from . import entropy as EC
 
 
 class DREDEncoder:
@@ -34,6 +35,7 @@ class DREDEncoder:
         self._frame_buf: Optional[np.ndarray] = None
         self._step = jax.jit(lambda st, f: RV.encode_dframe(
             self.params, st, f, self.cfg))
+        self.fixed_stats = EC.stats_fixed_point(self.params, self.cfg)
 
     def reset(self):
         self.state = RV.init_encoder_stream(self.batch, self.cfg)
@@ -60,8 +62,10 @@ class DREDEncoder:
         """Build one redundancy payload from the newest latents.
 
         Returns dict with zq [B, L, latent] int latents (newest LAST, i.e.
-        decode order is reversed downstream), q_ids [L], state [B, 24],
-        bits [B] estimated payload size in bits.
+        decode order is reversed downstream), q_ids [L], state [B, 24] (the
+        PVQ-quantized unit-norm decoder init), bits [B] estimated payload
+        size, and payloads: a list of B entropy-coded byte strings (see
+        entropy.encode_payload for the framing).
         """
         n_lat = num_redundancy_frames // 2
         if len(self.latents) < n_lat:
@@ -69,13 +73,20 @@ class DREDEncoder:
         z = jnp.asarray(np.stack(self.latents[-n_lat:], axis=1))  # [B, L, 80]
         # oldest latent (index 0) -> coarsest level q1, newest -> q0,
         # matching torch/rdovae/fec_encoder.py:125-127
-        q_ids = np.round(q1 + (q0 - q1) * np.arange(n_lat) / (n_lat - 1)
-                         ).astype(np.int32)
+        q_ids = EC.payload_q_ids(n_lat, q0, q1)
         zq, rates = quantize_latents(self.params, z, jnp.asarray(q_ids), self.cfg)
-        state = jnp.asarray(self.init_states[-1])
+        zq = np.asarray(zq)
+        raw_state = np.asarray(self.init_states[-1])
+        k = self.cfg.pvq_num_pulses
+        pulses = np.stack([EC.pvq_search(raw_state[b], k)
+                           for b in range(zq.shape[0])])
+        state = np.stack([EC.pvq_normalize(p) for p in pulses])
+        payloads = [EC.encode_payload(zq[b].astype(np.int32), pulses[b],
+                                      q0, q1, self.fixed_stats, k)
+                    for b in range(zq.shape[0])]
         bits = 8 * jnp.ceil((jnp.sum(rates, axis=(-1,)) + 7 + RV.pvq_state_bits(self.cfg)) / 8)
-        return {"zq": np.asarray(zq), "q_ids": q_ids,
-                "state": np.asarray(state), "bits": np.asarray(bits)}
+        return {"zq": zq, "q_ids": q_ids, "state": state,
+                "bits": np.asarray(bits), "payloads": payloads}
 
 
 def quantize_latents(params, z, q_ids, cfg: RV.RDOVAEConfig):
@@ -84,7 +95,7 @@ def quantize_latents(params, z, q_ids, cfg: RV.RDOVAEConfig):
     stats = RV.statistical_model(params, q_ids, cfg)
     zq = z * stats["quant_scale"]
     zq = RV.soft_dead_zone(zq, stats["dead_zone"])
-    zq = jnp.round(zq)
+    zq = jnp.clip(jnp.round(zq), -EC.MAX_MAG, EC.MAX_MAG)
     rates = RV.hard_rate_estimate(zq, stats["r_hard"], stats["theta_hard"],
                                   reduce=False)
     return zq, rates
@@ -124,3 +135,14 @@ class DREDDecoder:
                                jnp.asarray(q_ids), self.cfg)
         z_rev = jnp.flip(z, axis=1)       # newest first
         return np.asarray(self._decode(z_rev, jnp.asarray(state), n=z.shape[1]))
+
+    def decode_payload(self, payload: bytes) -> np.ndarray:
+        """Entropy-coded payload (entropy.encode_payload framing) ->
+        features [1, L*4, 20], newest latent first."""
+        if not hasattr(self, "_fixed_stats"):
+            self._fixed_stats = EC.stats_fixed_point(self.params, self.cfg)
+        zq, pulses, q_ids = EC.decode_payload(
+            payload, self._fixed_stats, self.cfg.state_dim,
+            self.cfg.pvq_num_pulses)
+        state = EC.pvq_normalize(pulses)[None]
+        return self.decode_all(zq[None], q_ids, state)

@@ -56,6 +56,13 @@ def _load() -> Optional[ctypes.CDLL]:
                                   ptr(ctypes.c_int32), ptr(ctypes.c_float), i64, i64]
     lib.scatter_frames.argtypes = [ptr(ctypes.c_float), ptr(ctypes.c_int32),
                                    ptr(ctypes.c_int16), ptr(ctypes.c_int64), i64, i64]
+    lib.dred_encode_latents.argtypes = [
+        ptr(ctypes.c_int32), ptr(ctypes.c_uint16), ptr(ctypes.c_uint16), i64,
+        ptr(ctypes.c_uint8), i64]
+    lib.dred_encode_latents.restype = i64
+    lib.dred_decode_latents.argtypes = [
+        ptr(ctypes.c_uint8), i64, ptr(ctypes.c_uint16), ptr(ctypes.c_uint16),
+        i64, ptr(ctypes.c_int32)]
     _lib = lib
     return lib
 
@@ -150,6 +157,42 @@ class _Runtime:
         from ..codec import packet as P
         names = [f[0] for f in P.FIELDS]
         return P.pack_fields({nm: fields[:, i] for i, nm in enumerate(names)})
+
+    def dred_encode_latents(self, zq: np.ndarray, p0_q15: np.ndarray,
+                            r_q15: np.ndarray) -> Optional[bytes]:
+        """Range-code one payload's latent symbols; None -> use Python path."""
+        lib = _load()
+        if lib is None:
+            return None
+        zq = np.ascontiguousarray(zq, np.int32).reshape(-1)
+        p0 = np.ascontiguousarray(p0_q15, np.uint16).reshape(-1)
+        r = np.ascontiguousarray(r_q15, np.uint16).reshape(-1)
+        cap = 64 + 490 * zq.size       # worst case ~15 bits/flag, 257 flags
+        out = np.empty(cap, np.uint8)
+        n = lib.dred_encode_latents(_cp(zq, ctypes.c_int32),
+                                    _cp(p0, ctypes.c_uint16),
+                                    _cp(r, ctypes.c_uint16), zq.size,
+                                    _cp(out, ctypes.c_uint8), cap)
+        if n < 0:
+            return None
+        return out[:n].tobytes()
+
+    def dred_decode_latents(self, data: bytes, p0_q15: np.ndarray,
+                            r_q15: np.ndarray) -> Optional[np.ndarray]:
+        lib = _load()
+        if lib is None:
+            return None
+        p0 = np.ascontiguousarray(p0_q15, np.uint16).reshape(-1)
+        r = np.ascontiguousarray(r_q15, np.uint16).reshape(-1)
+        buf = np.frombuffer(data, np.uint8).copy()
+        if buf.size == 0:
+            buf = np.zeros(1, np.uint8)
+        out = np.empty(p0.size, np.int32)
+        lib.dred_decode_latents(_cp(buf, ctypes.c_uint8), len(data),
+                                _cp(p0, ctypes.c_uint16),
+                                _cp(r, ctypes.c_uint16), p0.size,
+                                _cp(out, ctypes.c_int32))
+        return out.reshape(np.asarray(p0_q15).shape)
 
     def unpack_packets(self, packets: np.ndarray) -> np.ndarray:
         packets = np.ascontiguousarray(packets, np.uint8).reshape(-1, 8)

@@ -232,4 +232,151 @@ void scatter_frames(const float* src, const int32_t* slots,
   }
 }
 
+// ---------------------------------------------------------------------------
+// DRED entropy coding (mirror of dred/entropy.py, byte-compatible)
+// ---------------------------------------------------------------------------
+//
+// Binary range coder with Q15 probabilities over a byte buffer; carries
+// ripple backward through emitted bytes (payloads are small). Latent symbols
+// decompose into zero-flag(p0) / sign(1/2) / geometric-continue(r) decisions
+// exactly as the Python reference implementation.
+
+static const uint32_t kRcTopByte = 1u << 24;
+static const int kDredMaxMag = 255;
+
+struct RangeEnc {
+  uint8_t* out;
+  int64_t pos, cap;
+  uint32_t low, range;
+};
+
+static void rc_init(RangeEnc* rc, uint8_t* out, int64_t cap) {
+  rc->out = out; rc->pos = 0; rc->cap = cap;
+  rc->low = 0; rc->range = 0xFFFFFFFFu;
+}
+
+static void rc_carry(RangeEnc* rc) {
+  int64_t i = (rc->pos < rc->cap ? rc->pos : rc->cap) - 1;
+  while (i >= 0 && rc->out[i] == 0xFF) rc->out[i--] = 0;
+  if (i >= 0) rc->out[i]++;
+}
+
+static void rc_encode_bit(RangeEnc* rc, int bit, uint32_t p0_q15) {
+  uint32_t split = (uint32_t)(((uint64_t)rc->range * p0_q15) >> 15);
+  if (split < 1) split = 1;
+  if (split > rc->range - 1) split = rc->range - 1;
+  if (bit) {
+    uint64_t nl = (uint64_t)rc->low + split;
+    if (nl >> 32) rc_carry(rc);
+    rc->low = (uint32_t)nl;
+    rc->range -= split;
+  } else {
+    rc->range = split;
+  }
+  while (rc->range < kRcTopByte) {
+    if (rc->pos < rc->cap) rc->out[rc->pos] = (uint8_t)(rc->low >> 24);
+    rc->pos++;
+    rc->low <<= 8;
+    rc->range <<= 8;
+  }
+}
+
+static int64_t rc_finish(RangeEnc* rc) {
+  // pick the codeword in [low, low+range) with the most trailing zero bytes
+  for (int m = 4; m >= 0; m--) {
+    uint64_t step = 1ull << (8 * m);
+    uint64_t c = ((uint64_t)rc->low + step - 1) / step * step;
+    if (c < (uint64_t)rc->low + rc->range) {
+      if (c >> 32) rc_carry(rc);
+      rc->low = (uint32_t)c;
+      break;
+    }
+  }
+  for (int i = 0; i < 4; i++) {
+    if (rc->pos < rc->cap) rc->out[rc->pos] = (uint8_t)(rc->low >> 24);
+    rc->pos++;
+    rc->low <<= 8;
+  }
+  while (rc->pos > 0 && rc->pos <= rc->cap && rc->out[rc->pos - 1] == 0)
+    rc->pos--;
+  return rc->pos;  // > cap signals overflow to the caller
+}
+
+// zq [n] int symbols, p0/r [n] Q15. Returns payload length, or -1 if cap hit.
+int64_t dred_encode_latents(const int32_t* zq, const uint16_t* p0,
+                            const uint16_t* r, int64_t n,
+                            uint8_t* out, int64_t cap) {
+  RangeEnc rc;
+  rc_init(&rc, out, cap);
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t p = p0[i] < 1 ? 1 : (p0[i] > 32767 ? 32767 : p0[i]);
+    uint32_t rr = r[i] < 1 ? 1 : (r[i] > 32767 ? 32767 : r[i]);
+    int32_t z = zq[i];
+    if (z == 0) { rc_encode_bit(&rc, 0, p); continue; }
+    rc_encode_bit(&rc, 1, p);
+    rc_encode_bit(&rc, z < 0 ? 1 : 0, 1u << 14);
+    int mag = z < 0 ? -z : z;
+    if (mag > kDredMaxMag) mag = kDredMaxMag;
+    uint32_t p_stop = 32768u - rr;
+    for (int j = 0; j < mag - 1; j++) rc_encode_bit(&rc, 1, p_stop);
+    if (mag < kDredMaxMag) rc_encode_bit(&rc, 0, p_stop);
+  }
+  int64_t len = rc_finish(&rc);
+  return len > cap ? -1 : len;
+}
+
+struct RangeDec {
+  const uint8_t* data;
+  int64_t len, pos;
+  uint64_t diff;     // code - low; always < range
+  uint32_t range;
+};
+
+static void rd_init(RangeDec* rd, const uint8_t* data, int64_t len) {
+  rd->data = data; rd->len = len; rd->pos = 4;
+  rd->range = 0xFFFFFFFFu;
+  rd->diff = 0;
+  for (int i = 0; i < 4; i++)
+    rd->diff = (rd->diff << 8) | (i < len ? data[i] : 0);
+}
+
+static int rd_decode_bit(RangeDec* rd, uint32_t p0_q15) {
+  uint32_t split = (uint32_t)(((uint64_t)rd->range * p0_q15) >> 15);
+  if (split < 1) split = 1;
+  if (split > rd->range - 1) split = rd->range - 1;
+  int bit;
+  if (rd->diff < split) {
+    bit = 0;
+    rd->range = split;
+  } else {
+    bit = 1;
+    rd->diff -= split;
+    rd->range -= split;
+  }
+  while (rd->range < kRcTopByte) {
+    uint8_t nxt = rd->pos < rd->len ? rd->data[rd->pos] : 0;
+    rd->pos++;
+    rd->diff = (rd->diff << 8) | nxt;
+    rd->range <<= 8;
+  }
+  return bit;
+}
+
+void dred_decode_latents(const uint8_t* data, int64_t len,
+                         const uint16_t* p0, const uint16_t* r,
+                         int64_t n, int32_t* out) {
+  RangeDec rd;
+  rd_init(&rd, data, len);
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t p = p0[i] < 1 ? 1 : (p0[i] > 32767 ? 32767 : p0[i]);
+    uint32_t rr = r[i] < 1 ? 1 : (r[i] > 32767 ? 32767 : r[i]);
+    if (rd_decode_bit(&rd, p) == 0) { out[i] = 0; continue; }
+    int sign = rd_decode_bit(&rd, 1u << 14) ? -1 : 1;
+    uint32_t p_stop = 32768u - rr;
+    int mag = 1;
+    while (mag < kDredMaxMag && rd_decode_bit(&rd, p_stop) == 1) mag++;
+    out[i] = sign * mag;
+  }
+}
+
 }  // extern "C"

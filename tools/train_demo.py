@@ -60,17 +60,26 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch-size", type=int, default=32)
     ap.add_argument("--outdir", default="artifacts/train_demo")
+    ap.add_argument("--data-dir", default=None,
+                    help="reuse features.f32/data.s16 from another run dir")
     ap.add_argument("--grua-size", type=int, default=384)
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="save model_<step>.npz every N steps")
+    ap.add_argument("--init-from", default=None,
+                    help="npz checkpoint to initialize weights from")
+    ap.add_argument("--quantize", action="store_true",
+                    help="quantize-finetune mode (requires --init-from)")
     args = ap.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
-    fpath = os.path.join(args.outdir, "features.f32")
-    dpath = os.path.join(args.outdir, "data.s16")
+    datadir = args.data_dir or args.outdir
+    fpath = os.path.join(datadir, "features.f32")
+    dpath = os.path.join(datadir, "data.s16")
 
     if not os.path.exists(dpath):
         print("generating corpus...", flush=True)
         speech = synth_corpus(args.seconds)
-        speech.tofile(os.path.join(args.outdir, "corpus.s16"))
+        speech.tofile(os.path.join(datadir, "corpus.s16"))
         from lpcnet_tpu.train.dump_data import dump_data
         t0 = time.time()
         dump_data(speech, fpath, dpath, chunk_frames=800)
@@ -80,15 +89,26 @@ def main():
 
     from lpcnet_tpu.models.lpcnet import LPCNetConfig
     from lpcnet_tpu.train.data import LPCNetLoader
-    from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer
-    from lpcnet_tpu.weights.checkpoint import save_checkpoint
+    from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer, TrainState
+    from lpcnet_tpu.weights.checkpoint import load_checkpoint, save_checkpoint
     from lpcnet_tpu.weights.lpcnet_arrays import save_lpcnet_blob
 
     cfg = LPCNetConfig(rnn_units1=args.grua_size)
-    tc = TrainConfig(batch_size=args.batch_size)
+    tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize)
     loader = LPCNetLoader(dpath, fpath, batch_size=args.batch_size)
     print(f"{len(loader)} batches/epoch", flush=True)
     trainer = Trainer(cfg, tc)
+    if args.init_from:
+        params, _ = load_checkpoint(args.init_from)
+        trainer.state = TrainState(jax.device_put(params),
+                                   trainer.optimizer.init(params),
+                                   trainer.state.step)
+        print(f"initialized from {args.init_from}", flush=True)
+
+    def save(params, tag=""):
+        save_checkpoint(os.path.join(args.outdir, f"model{tag}.npz"), params, cfg)
+        with open(os.path.join(args.outdir, f"model{tag}.bin"), "wb") as f:
+            f.write(save_lpcnet_blob(params, cfg, quantize=args.quantize))
 
     from lpcnet_tpu.utils.profiling import MetricsLogger
     mlog = MetricsLogger(os.path.join(args.outdir, "metrics.jsonl"))
@@ -104,14 +124,13 @@ def main():
             if step % 50 == 0:
                 print(f"step {step}: loss={m['loss']:.4f} "
                       f"({step / (time.time() - t0):.2f} steps/s)", flush=True)
+            if args.save_every and step % args.save_every == 0:
+                save(jax.device_get(trainer.state.params), f"_{step}")
             if step >= args.steps:
                 break
         loader.on_epoch_end()
 
-    params = jax.device_get(trainer.state.params)
-    save_checkpoint(os.path.join(args.outdir, "model.npz"), params, cfg)
-    with open(os.path.join(args.outdir, "model.bin"), "wb") as f:
-        f.write(save_lpcnet_blob(params, cfg, quantize=False))
+    save(jax.device_get(trainer.state.params))
     print("saved artifacts to", args.outdir, flush=True)
 
 
