@@ -1,3 +1,3 @@
 """DRED: deep redundancy coding (RDO-VAE latents piggybacked on packets)."""
 
-from . import coder  # noqa: F401
+from . import coder, entropy  # noqa: F401

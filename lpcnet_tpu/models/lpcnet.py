@@ -309,6 +309,54 @@ def synthesize_frame(fused, state: SampleState, cond_a, cond_b, lpc,
     return new_state, jnp.floor(0.5 + pcm)
 
 
+def synthesize_frame_masked(fused, state: SampleState, cond_a, cond_b, lpc,
+                            preload, preload_mask, advance_mask):
+    """synthesize_frame with per-stream, per-sample control masks.
+
+    The batched PLC runs streams whose control flow diverged (each stream has
+    its own loss pattern); instead of host-side branching, every stream steps
+    through the same fixed-shape scan and masks select the behavior
+    (the TPU trade: worst-case compute for full batching).
+
+    Args:
+      preload: [B, n] teacher waveform (only read where preload_mask).
+      preload_mask: [B, n] bool -- teacher-force this sample (C preload
+        semantics, src/lpcnet.c:256-259).
+      advance_mask: [B, n] bool -- process this sample at all; where False
+        the stream's state (including its RNG) is frozen and the output
+        sample is 0, exactly as if the stream had not been stepped.
+
+    Returns (new_state, pcm [B, n]).
+    """
+    def step(st: SampleState, xs):
+        target, tf, adv = xs
+        pred = -jnp.sum(st.last_sig * lpc, axis=-1)
+        sig_u = mulaw.lin2ulaw(st.last_sig[..., 0])
+        pred_u = mulaw.lin2ulaw(pred)
+        h_a, h_b, exc, rng = sample_network_step(
+            fused, st, cond_a, cond_b, sig_u, pred_u)
+        pcm_tf = target - PREEMPHASIS * st.deemph
+        exc_tf = mulaw.lin2ulaw(pcm_tf - pred)
+        exc = jnp.where(tf, exc_tf, exc)
+        pcm = jnp.where(tf, pcm_tf, pred + mulaw.ulaw2lin(exc))
+        new_last_sig = jnp.concatenate(
+            [pcm[..., None], st.last_sig[..., :-1]], axis=-1)
+        out = pcm + PREEMPHASIS * st.deemph
+        new_state = SampleState(h_a, h_b, new_last_sig, exc, out, rng)
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(
+                adv.reshape(adv.shape + (1,) * (new.ndim - 1)), new, old),
+            new_state, st)
+        out = jnp.where(adv, jnp.clip(out, -32767.0, 32767.0), 0.0)
+        return new_state, out
+
+    xs = (jnp.moveaxis(jnp.asarray(preload, jnp.float32), -1, 0),
+          jnp.moveaxis(jnp.asarray(preload_mask, bool), -1, 0),
+          jnp.moveaxis(jnp.asarray(advance_mask, bool), -1, 0))
+    new_state, pcm = jax.lax.scan(step, state, xs)
+    return new_state, jnp.floor(0.5 + jnp.moveaxis(pcm, 0, -1))
+
+
 # --------------------------------------------------------------------------
 # Training graph (sequence form; mirrors training_tf2/lpcnet.py:234-313)
 # --------------------------------------------------------------------------

@@ -1,3 +1,4 @@
-"""Packet loss concealment: core vocoder state, PLC state machine, driver."""
+"""Packet loss concealment: core vocoder state, PLC state machine, driver,
+and the fully-batched mixed-loss variant (batched.BatchedPLC)."""
 
-from . import core, driver, plc  # noqa: F401
+from . import batched, core, driver, plc  # noqa: F401

@@ -1,0 +1,346 @@
+"""Fully-batched PLC with per-stream loss patterns (causal mode).
+
+The host-side PLC (plc.py) mirrors the C state machine exactly but requires
+every stream in a batch to share one loss pattern, because the control flow
+(src/lpcnet_plc.c:188-337) is data-dependent on the loss flag. That is the
+CPU way. The TPU way, implemented here: every stream steps through the same
+fixed-shape jitted frame step, and masks select per-stream behavior --
+worst-case compute in exchange for full batching, so a serving node can run
+hundreds of independent streams, each with its own losses, in ONE device
+dispatch per frame.
+
+Structure: the update (good packet) and conceal (lost) paths are both
+evaluated from the same input state; within each path the data-dependent
+pieces (the pcm-drain loop, blending after a loss, deferred frame-net
+flushes) are unrolled to their bounded maxima with per-stream enable masks
+(conceal's drain loop runs at most ceil(plc_buf_size/FRAME_SIZE) = 3
+iterations; the deferred feature buffer holds at most 2*(k-1) = 4 frames).
+The final state is selected per stream by the loss flag.
+
+Scope: causal mode, with or without blending (LPCNET_PLC_CAUSAL /
+LPCNET_PLC_CODEC), no DC filter, no FEC. The host PLC remains the reference
+for the full option surface. Parity: bit-exact against plc.py when all
+streams share a pattern (test_plc_batched).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..codec import features as F
+from ..dsp.burg import burg_cepstral_analysis
+from ..dsp.constants import FRAME_SIZE, NB_BANDS, NB_FEATURES, TRAINING_OFFSET
+from ..models import lpcnet as M
+from ..models import plc as PM
+from .plc import ATT_TABLE
+
+_TO = TRAINING_OFFSET                       # 80
+_N1 = FRAME_SIZE - TRAINING_OFFSET          # 80
+MAX_DEFER = 4                               # 2*(conv_kernel-1)
+MAX_DRAIN = 3                               # ceil(plc_buf_size / FRAME_SIZE)
+
+
+class BatchedPLCState(NamedTuple):
+    fstate: M.FrameState
+    sstate: M.SampleState
+    cond_a: jnp.ndarray
+    cond_b: jnp.ndarray
+    lpc: jnp.ndarray
+    feat_ring: jnp.ndarray      # [B, MAX_DEFER, 36] deferred frame-net inputs
+    feat_count: jnp.ndarray     # [B] int32
+    enc: F.EncoderState
+    plc_net: PM.PLCNetState
+    plc_ring: PM.PLCNetState    # leaves [R, B, H]; ring of past net states
+    features: jnp.ndarray       # [B, 20] current feature estimate
+    pcm_buf: jnp.ndarray        # [B, plc_buf_size + 160]
+    pcm_fill: jnp.ndarray       # [B] int32
+    skip_analysis: jnp.ndarray  # [B] int32
+    blend: jnp.ndarray          # [B] bool
+    loss_count: jnp.ndarray     # [B] int32
+
+
+def _bwhere(mask, new, old):
+    """Per-stream select over a [B, ...] pytree."""
+    return jax.tree.map(
+        lambda n, o: jnp.where(mask.reshape(mask.shape + (1,) * (n.ndim - 1)),
+                               n, o), new, old)
+
+
+def _pad36(f):
+    return jnp.pad(f, ((0, 0), (0, 36 - f.shape[-1])))
+
+
+class BatchedPLC:
+    """Mixed-loss batched causal PLC.
+
+    Call step(pcm [B, 160], lost [B]) per 10 ms frame; hold each loss flag
+    for 2 frames to match the 20 ms packet cadence of the demo driver.
+    """
+
+    def __init__(self, fused, cfg: M.LPCNetConfig, plc_params, batch: int,
+                 enable_blending: bool = True,
+                 plc_cfg: Optional[PM.PLCConfig] = None):
+        self.fused = fused
+        self.cfg = cfg
+        self.batch = batch
+        self.enable_blending = enable_blending
+        self.plc_params = plc_params
+        self.plc_cfg = plc_cfg or PM.PLCConfig()
+        self.delay = cfg.lookahead
+        self.plc_buf_size = self.delay * FRAME_SIZE + _TO
+        self.state = self.init_state()
+        delay, buf_size = self.delay, self.plc_buf_size
+        self._step = jax.jit(
+            lambda st, fw, pp, pcm, lost: _plc_frame_step(
+                st, fw, pp, pcm, lost, cfg, enable_blending, delay, buf_size))
+
+    def init_state(self) -> BatchedPLCState:
+        b, cfg = self.batch, self.cfg
+        ring = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.delay + 1,) + x.shape),
+            PM.init_state(b, self.plc_cfg))
+        return BatchedPLCState(
+            fstate=M.init_frame_state(b, cfg),
+            sstate=M.init_sample_state(b, cfg),
+            cond_a=jnp.zeros((b, 3 * cfg.rnn_units1), jnp.float32),
+            cond_b=jnp.zeros((b, 3 * cfg.rnn_units2), jnp.float32),
+            lpc=jnp.zeros((b, 16), jnp.float32),
+            feat_ring=jnp.zeros((b, MAX_DEFER, 36), jnp.float32),
+            feat_count=jnp.zeros((b,), jnp.int32),
+            enc=F.init_encoder_state(b),
+            plc_net=PM.init_state(b, self.plc_cfg),
+            plc_ring=ring,
+            features=jnp.zeros((b, NB_FEATURES), jnp.float32),
+            pcm_buf=jnp.zeros((b, self.plc_buf_size + FRAME_SIZE), jnp.float32),
+            pcm_fill=jnp.full((b,), self.plc_buf_size, jnp.int32),
+            skip_analysis=jnp.zeros((b,), jnp.int32),
+            blend=jnp.zeros((b,), bool),
+            loss_count=jnp.zeros((b,), jnp.int32),
+        )
+
+    def reset(self):
+        self.state = self.init_state()
+
+    def step(self, pcm: np.ndarray, lost: np.ndarray) -> np.ndarray:
+        """pcm [B, 160] (ignored where lost), lost [B] 0/1. Returns [B, 160]."""
+        self.state, out = self._step(
+            self.state, self.fused, self.plc_params,
+            jnp.asarray(np.asarray(pcm, np.float32)),
+            jnp.asarray(np.asarray(lost).astype(bool)))
+        return np.asarray(out)
+
+
+# ---------------------------------------------------------------------------
+# The jitted frame step
+# ---------------------------------------------------------------------------
+
+def _fnet_masked(fused, s: BatchedPLCState, feats36, active, cfg):
+    new_f, _, ca, cb, lpc = M.frame_network(fused, s.fstate, feats36, cfg)
+    merged = _bwhere(active, (new_f, ca, cb, lpc),
+                     (s.fstate, s.cond_a, s.cond_b, s.lpc))
+    return s._replace(fstate=merged[0], cond_a=merged[1], cond_b=merged[2],
+                      lpc=merged[3])
+
+
+def _tail_masked(fused, s: BatchedPLCState, preload, preload_mask,
+                 advance_mask, cfg):
+    """Sample-rate tail with conv-warmup gating (cf. LPCNetCore
+    synthesize_tail): streams still in warmup neither advance nor emit."""
+    live = s.fstate.frame_count > cfg.lookahead
+    adv = advance_mask & live[:, None]
+    new_ss, pcm = M.synthesize_frame_masked(
+        fused, s.sstate, s.cond_a, s.cond_b, s.lpc,
+        preload, preload_mask & adv, adv)
+    return s._replace(sstate=new_ss), pcm
+
+
+def _plc_pred_masked(plc_params, s: BatchedPLCState, plc_in, active,
+                     set_features=True):
+    new_net, out = PM.compute_plc_pred(plc_params, s.plc_net, plc_in)
+    s = s._replace(plc_net=_bwhere(active, new_net, s.plc_net))
+    if set_features:
+        s = s._replace(features=jnp.where(active[:, None],
+                                          out[:, :NB_FEATURES], s.features))
+    return s
+
+
+def _push_plc_ring(s: BatchedPLCState, active):
+    new_ring = jax.tree.map(
+        lambda ring, cur: jnp.where(
+            active.reshape((1,) + active.shape + (1,) * (cur.ndim - 1)),
+            jnp.concatenate([cur[None], ring[:-1]], axis=0), ring),
+        s.plc_ring, s.plc_net)
+    return s._replace(plc_ring=new_ring)
+
+
+def _push_feat_ring(s: BatchedPLCState, feats36, active):
+    """Host semantics (LPCNetCore.frame_network_deferred): drop the oldest
+    entry when full, then append."""
+    full = s.feat_count >= MAX_DEFER
+    ring = jnp.where(full[:, None, None],
+                     jnp.concatenate([s.feat_ring[:, 1:],
+                                      jnp.zeros_like(s.feat_ring[:, :1])], 1),
+                     s.feat_ring)
+    count = jnp.where(full, MAX_DEFER - 1, s.feat_count)
+    slot = jax.nn.one_hot(count, MAX_DEFER, dtype=bool)
+    ring = jnp.where((active[:, None] & slot)[..., None],
+                     feats36[:, None, :], ring)
+    count = jnp.where(active, count + 1, s.feat_count)
+    return s._replace(feat_ring=ring, feat_count=count)
+
+
+def _enc_step(s: BatchedPLCState, pcm):
+    new_enc, feats = F.compute_single_frame_features(s.enc, pcm)
+    return s._replace(enc=new_enc), feats
+
+
+def _shift_buf(buf):
+    n = buf.shape[1] - FRAME_SIZE
+    return jnp.concatenate(
+        [buf[:, FRAME_SIZE:FRAME_SIZE + n], buf[:, n:]], axis=1)
+
+
+def _conceal_path(fused, plc_params, s: BatchedPLCState, cfg, delay,
+                  plc_buf_size):
+    """src/lpcnet_plc.c:293-337 with the drain loop unrolled+masked."""
+    b = s.features.shape[0]
+    ones = jnp.ones((b,), bool)
+    # frame_network_flush
+    for i in range(MAX_DEFER):
+        s = _fnet_masked(fused, s, s.feat_ring[:, i], i < s.feat_count, cfg)
+    s = s._replace(feat_count=jnp.zeros_like(s.feat_count))
+    # drain: teacher-force queued good audio through the synth
+    zeros_in = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+    for _ in range(MAX_DRAIN):
+        active = s.pcm_fill > 0
+        count = jnp.minimum(s.pcm_fill, FRAME_SIZE)
+        output = s.pcm_buf[:, :FRAME_SIZE]
+        s = _push_plc_ring(s, active)
+        s = _plc_pred_masked(plc_params, s, zeros_in, active)
+        s = _fnet_masked(fused, s, _pad36(s.features), active, cfg)
+        adv = active[:, None] & (jnp.arange(FRAME_SIZE)[None] < count[:, None])
+        s, _ = _tail_masked(fused, s, output, adv, adv, cfg)
+        s = s._replace(
+            pcm_buf=jnp.where(active[:, None], _shift_buf(s.pcm_buf), s.pcm_buf),
+            pcm_fill=jnp.where(active, s.pcm_fill - count, s.pcm_fill),
+            skip_analysis=jnp.where(active, s.skip_analysis + 1,
+                                    s.skip_analysis))
+    # synthesize the concealed frame
+    s = _push_plc_ring(s, ones)
+    allm = jnp.ones((b, _N1), bool)
+    s, head = _tail_masked(fused, s, jnp.zeros((b, _N1)),
+                           jnp.zeros((b, _N1), bool), allm, cfg)
+    s = _plc_pred_masked(plc_params, s, zeros_in, ones)
+    lc = s.loss_count + 1            # incremented before attenuation
+    att = jnp.where(lc >= 10, ATT_TABLE[9] - 2.0 * (lc - 9),
+                    jnp.asarray(ATT_TABLE)[jnp.minimum(lc, 9)])
+    s = s._replace(
+        features=s.features.at[:, 0].set(
+            jnp.maximum(-10.0, s.features[:, 0] + att)),
+        loss_count=lc)
+    s = _fnet_masked(fused, s, _pad36(s.features), ones, cfg)
+    allm = jnp.ones((b, _TO), bool)
+    s, tail = _tail_masked(fused, s, jnp.zeros((b, _TO)),
+                           jnp.zeros((b, _TO), bool), allm, cfg)
+    pcm = jnp.concatenate([head, tail], axis=1)
+    s, _ = _enc_step(s, pcm)
+    s = s._replace(blend=jnp.ones_like(s.blend))
+    return s, jnp.clip(pcm, -32768, 32767)
+
+
+def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
+                 enable_blending, delay, plc_buf_size):
+    """src/lpcnet_plc.c:188-290 (causal update, no DC/FEC)."""
+    b = pcm.shape[0]
+    burg_feats = burg_cepstral_analysis(pcm)
+    skip = s.skip_analysis > 0
+    bl = skip & s.blend
+    if enable_blending:
+        # restore the pre-loss PLC net and predict across the gap
+        s = s._replace(plc_net=_bwhere(
+            bl, jax.tree.map(lambda x: x[delay], s.plc_ring), s.plc_net))
+        inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+        inp = inp.at[:, :2 * NB_BANDS].set(burg_feats)
+        inp = inp.at[:, -1].set(1.0)
+        s = _plc_pred_masked(plc_params, s, inp, bl)
+        for _ in range(delay):
+            s = _push_feat_ring(s, _pad36(s.features), bl)
+        saved = (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc)
+        s = _fnet_masked(fused, s, _pad36(s.features), bl, cfg)
+        adv = bl[:, None] & jnp.ones((b, _N1), bool)
+        s, tmp = _tail_masked(fused, s, jnp.zeros((b, _N1)),
+                              jnp.zeros((b, _N1), bool), adv, cfg)
+        w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_N1) / _N1)
+        blended = jnp.floor(0.5 + w * pcm[:, :_N1] + (1 - w) * tmp)
+        pcm = pcm.at[:, :_N1].set(jnp.where(bl[:, None], blended, pcm[:, :_N1]))
+        # rewind and teacher-force the blended audio back in
+        restored = _bwhere(bl, saved,
+                           (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc))
+        s = s._replace(fstate=restored[0], sstate=restored[1],
+                       cond_a=restored[2], cond_b=restored[3], lpc=restored[4])
+        s = _fnet_masked(fused, s, _pad36(s.features), bl, cfg)
+        s, _ = _tail_masked(fused, s, pcm[:, :_N1], adv, adv, cfg)
+    else:
+        # codec mode: rewind the PLC net one frame and clear the AR state
+        if delay > 0:
+            s = s._replace(plc_net=_bwhere(
+                bl, jax.tree.map(lambda x: x[delay - 1], s.plc_ring),
+                s.plc_net))
+        fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
+        s = s._replace(sstate=_bwhere(bl, fresh, s.sstate))
+    # blend streams restart the pcm queue from the unblended half-frame
+    s = s._replace(
+        pcm_buf=jnp.where(bl[:, None],
+                          s.pcm_buf.at[:, :_TO].set(pcm[:, _N1:]), s.pcm_buf),
+        pcm_fill=jnp.where(bl, _TO, s.pcm_fill))
+    # non-blend skip streams queue this frame for later teacher forcing
+    nbs = skip & ~s.blend
+    queued = jax.vmap(
+        lambda bufr, frame, off: jax.lax.dynamic_update_slice(bufr, frame, (off,))
+    )(s.pcm_buf, pcm, s.pcm_fill)
+    s = s._replace(
+        pcm_buf=jnp.where(nbs[:, None], queued, s.pcm_buf),
+        pcm_fill=jnp.where(nbs, s.pcm_fill + FRAME_SIZE, s.pcm_fill))
+    s, enc_feats = _enc_step(s, pcm)
+    inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+    inp = inp.at[:, :2 * NB_BANDS].set(burg_feats)
+    inp = inp.at[:, 2 * NB_BANDS:2 * NB_BANDS + NB_FEATURES].set(
+        enc_feats[:, :NB_FEATURES])
+    inp = inp.at[:, -1].set(1.0)
+    s = _plc_pred_masked(plc_params, s, inp, ~s.blend)
+    # steady streams run the (deferred) frame net and advance the queue;
+    # skip streams defer too, but only in blending mode (the codec mode's
+    # frame net is resynced from scratch after a loss instead)
+    steady = ~skip
+    s = _push_feat_ring(s, enc_feats,
+                        jnp.ones_like(steady) if enable_blending else steady)
+    buf_app = jax.vmap(
+        lambda bufr, frame: jax.lax.dynamic_update_slice(
+            bufr, frame, (plc_buf_size,)))(s.pcm_buf, pcm)
+    s = s._replace(
+        pcm_buf=jnp.where(steady[:, None], _shift_buf(buf_app), s.pcm_buf),
+        skip_analysis=jnp.where(skip, s.skip_analysis - 1, s.skip_analysis),
+        loss_count=jnp.zeros_like(s.loss_count),
+        blend=jnp.zeros_like(s.blend))
+    return s, jnp.clip(pcm, -32768, 32767)
+
+
+def _plc_frame_step(state: BatchedPLCState, fused, plc_params, pcm, lost,
+                    cfg, enable_blending, delay, plc_buf_size):
+    s_c, out_c = _conceal_path(fused, plc_params, state, cfg, delay,
+                               plc_buf_size)
+    s_u, out_u = _update_path(fused, plc_params, state, pcm, cfg,
+                              enable_blending, delay, plc_buf_size)
+    # ring leaves are [R, B, H] (select on axis 1); everything else [B, ...]
+    ring = jax.tree.map(
+        lambda c, u: jnp.where(lost[None, :, None], c, u),
+        s_c.plc_ring, s_u.plc_ring)
+    d_c, d_u = s_c._asdict(), s_u._asdict()
+    s = BatchedPLCState(**{
+        k: ring if k == "plc_ring" else _bwhere(lost, d_c[k], d_u[k])
+        for k in d_c})
+    return s, jnp.where(lost[:, None], out_c, out_u)

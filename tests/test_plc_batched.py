@@ -1,0 +1,98 @@
+"""Batched mixed-loss PLC vs the host-control-flow PLC.
+
+The host PLC (plc/plc.py) is the audited mirror of src/lpcnet_plc.c; the
+batched PLC (plc/batched.py) reimplements the causal state machine as one
+jitted masked step so each stream can follow its own loss pattern. These
+tests pin the two against each other.
+"""
+
+import numpy as np
+import pytest
+
+import conftest
+from conftest import load_fixture
+
+import jax
+
+from lpcnet_tpu.models import lpcnet as M
+from lpcnet_tpu.models import plc as PM
+from lpcnet_tpu.plc.batched import BatchedPLC
+from lpcnet_tpu.plc.plc import LPCNET_PLC_CAUSAL, LPCNET_PLC_CODEC, PLC
+
+
+def _make_pair(batch, enable_blending=True, seed=0):
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32)
+    params = M.init_params(jax.random.PRNGKey(seed), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(seed + 1))
+    options = LPCNET_PLC_CAUSAL if enable_blending else LPCNET_PLC_CODEC
+    host = PLC(fused, cfg, plc_params, options=options, batch=batch)
+    batched = BatchedPLC(fused, cfg, plc_params, batch=batch,
+                         enable_blending=enable_blending)
+    return host, batched
+
+
+def _speech(n_frames, batch):
+    pcm = load_fixture("codec.npz")["pcm"].astype(np.float32)
+    need = n_frames * 160
+    pcm = np.tile(pcm, (need // len(pcm) + 1))[:need]
+    return np.stack([np.roll(pcm, 37 * b) for b in range(batch)])
+
+
+@pytest.mark.parametrize("enable_blending", [True, False])
+def test_batched_matches_host_shared_pattern(enable_blending):
+    """All streams share one pattern -> the host PLC can run the same batch;
+    outputs must agree exactly (same jitted math, same op shapes)."""
+    batch, n_frames = 2, 14
+    host, batched = _make_pair(batch, enable_blending)
+    pcm = _speech(n_frames, batch)
+    # pattern covers: initial good run, single loss, recovery, double loss
+    lost_per_frame = np.array([0, 0, 0, 0, 1, 1, 0, 0, 1, 1, 1, 1, 0, 0])
+    for k in range(n_frames):
+        frame = pcm[:, k * 160:(k + 1) * 160]
+        if lost_per_frame[k]:
+            ref = host.conceal()
+        else:
+            ref = host.update(frame)
+        out = batched.step(frame, np.full(batch, lost_per_frame[k]))
+        np.testing.assert_allclose(out, ref, atol=1e-3, err_msg=f"frame {k}")
+
+
+def test_batched_mixed_patterns_self_consistent():
+    """Stream i of a mixed-pattern batch == stream i of a batch that runs
+    pattern i everywhere (per-stream independence; compare the same batch
+    index because each stream's sampling RNG is seeded by its index)."""
+    n_frames = 12
+    patterns = np.array([
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],       # clean
+        [0, 0, 1, 1, 0, 0, 0, 0, 1, 1, 0, 0],       # periodic loss
+        [0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0],       # burst
+    ])
+    batch = patterns.shape[0]
+    _, mixed = _make_pair(batch)
+    pcm = _speech(n_frames, batch)
+    mixed_out = np.stack(
+        [mixed.step(pcm[:, k * 160:(k + 1) * 160], patterns[:, k])
+         for k in range(n_frames)], axis=1)
+
+    for i in range(batch):
+        _, uni = _make_pair(batch)
+        pcm_i = np.tile(pcm[i][None], (batch, 1))
+        uni_out = np.stack(
+            [uni.step(pcm_i[:, k * 160:(k + 1) * 160],
+                      np.full(batch, patterns[i, k]))
+             for k in range(n_frames)], axis=1)
+        np.testing.assert_allclose(mixed_out[i], uni_out[i], atol=1e-3,
+                                   err_msg=f"stream {i}")
+
+
+def test_batched_no_loss_is_passthrough_shape():
+    batch, n_frames = 3, 6
+    _, batched = _make_pair(batch)
+    pcm = _speech(n_frames, batch)
+    outs = [batched.step(pcm[:, k * 160:(k + 1) * 160], np.zeros(batch))
+            for k in range(n_frames)]
+    out = np.concatenate(outs, axis=1)
+    assert out.shape == (batch, n_frames * 160)
+    # with no losses the causal PLC passes audio through unmodified
+    np.testing.assert_allclose(out, np.clip(pcm, -32768, 32767), atol=1e-3)
