@@ -49,7 +49,8 @@ def main(argv=None):
     ap.add_argument("mode", choices=["encode", "decode", "features",
                                      "synthesis", "plc", "addlpc",
                                      "dred-encode", "dred-decode",
-                                     "dred-payload", "dred-payload-decode"])
+                                     "dred-payload", "dred-payload-decode",
+                                     "fec-encode"])
     ap.add_argument("args", nargs="+")
     ap.add_argument("--model", default=None,
                     help="model weights (.npz checkpoint or DNNw .bin blob)")
@@ -192,6 +193,45 @@ def main(argv=None):
         feats[0].astype(np.float32).tofile(ns.args[1])
         print(f"dred-payload-decode: {feats.shape[1]} feature frames "
               f"(newest first)")
+
+    elif ns.mode == "fec-encode":
+        # pcm -> .fec packet file of DRED-roundtripped redundancy features,
+        # one packet per 20 ms (the torch fec_encoder.py tool equivalent:
+        # per-packet quantize -> unquantize -> decode). Feed to the PLC via
+        # plc.driver.run_plc_fec_stream.
+        import jax
+        from .dred.coder import DREDDecoder, DREDEncoder, quantize_latents
+        from .dred.fec_file import write_fec_packets
+        from .models import rdovae as RV
+        cfg = RV.RDOVAEConfig()
+        pcm = _read_pcm(ns.args[0])
+        params = (RV.init_params(jax.random.PRNGKey(0), cfg)
+                  if ns.model is None else _load_rdovae(ns.model))
+        enc = api.lpcnet_encoder_create()
+        dred = DREDEncoder(params, cfg)
+        dec = DREDDecoder(params, cfg)
+        n = len(pcm) // FRAME_SIZE
+        packets, rates = [], []
+        import numpy as _np
+        for t in range(n):
+            f = api.lpcnet_compute_single_frame_features(
+                enc, pcm[t * FRAME_SIZE:(t + 1) * FRAME_SIZE])
+            dred.add_feature_frame(f[None, :20])
+            if t % 2 == 1 and dred.latents:
+                # newest latent -> its own 2 frames at the requested q0
+                import jax.numpy as jnp
+                z = jnp.asarray(_np.asarray(dred.latents[-1])[:, None])
+                q = _np.array([ns.q0], _np.int32)
+                zq, rate = quantize_latents(params, z, jnp.asarray(q), cfg)
+                feats = dec.decode_all(_np.asarray(zq), q,
+                                       _np.asarray(dred.init_states[-1]))
+                # decoded frames are reverse-time; indices [1, 0] are this
+                # packet's two frames
+                packets.append(_np.asarray(feats[0, :2][::-1]))
+                rates.append(int(_np.asarray(rate).sum()))
+        write_fec_packets(ns.args[1], packets, rates)
+        print(f"fec-encode: {len(packets)} packets "
+              f"(mean {np.mean(rates):.0f} bits/packet estimate)")
 
     elif ns.mode == "plc":
         from .plc.driver import run_plc_file

@@ -79,6 +79,37 @@ def run_plc_stream(plc: PLC, pcm: np.ndarray, losses: np.ndarray) -> np.ndarray:
     return np.concatenate(out)
 
 
+def run_plc_fec_stream(plc: PLC, pcm: np.ndarray, losses: np.ndarray,
+                       fec_packets) -> np.ndarray:
+    """PLC with FEC redundancy: before concealing packet k, queue that
+    packet's redundancy features (lpcnet_plc_fec_add semantics,
+    src/lpcnet_plc.c:111-132) so _get_fec_or_pred uses real features
+    instead of predictions.
+
+    fec_packets: list (per 20 ms packet) of [2, >=20] feature arrays, e.g.
+    DRED-decoded redundancy from dred.coder / a .fec file
+    (dred.fec_file.read_fec_packets). The queue is time-indexed (the read
+    position advances one entry per received frame, src/lpcnet_plc.c:218-223)
+    so every packet's features are queued as they become available; which
+    later packet would carry them over the wire is the transport's concern,
+    as in the reference.
+    """
+    n_frames = len(pcm) // FRAME_SIZE
+    out = []
+    loss = 0
+    for k in range(n_frames):
+        frame = pcm[k * FRAME_SIZE:(k + 1) * FRAME_SIZE].astype(np.float32)[None]
+        if k % 2 == 0:
+            pkt = k // 2
+            loss = int(losses[pkt]) if pkt < len(losses) else 0
+            if fec_packets is not None and pkt < len(fec_packets):
+                for row in np.asarray(fec_packets[pkt], np.float32):
+                    plc.fec_add(row[None])
+        res = plc.conceal() if loss else plc.update(frame)
+        out.append(res[0])
+    return np.concatenate(out)
+
+
 def run_plc_file(options: str, percent_or_file: str, in_path: str,
                  out_path: str, model_path=None):
     pcm = np.fromfile(in_path, dtype=np.int16)
