@@ -34,21 +34,33 @@ from .weights.checkpoint import load_checkpoint
 from .weights.lpcnet_arrays import load_lpcnet_blob
 
 
-def load_model(path: Optional[str] = None, seed: int = 0):
+def load_model(path: Optional[str] = None, seed: int = 0,
+               int8: bool = False):
     """Load model weights: .bin DNNw blob, .npz checkpoint, or (path=None)
     deterministic random init for smoke testing.
+
+    int8=True converts the sample-rate network's quantized matrices (GRU-A
+    off-diagonal recurrent, GRU-B input) to int8, matching the reference's
+    DOT_PROD inference numerics (src/vec.h:206-236) at half the weight
+    footprint. Lossless for blob imports and quantize-finetuned checkpoints
+    (their weights sit on the 1/128 grid).
 
     Returns (fused_inference_params, cfg).
     """
     cfg = M.LPCNetConfig()
     if path is None:
         params = M.init_params(jax.random.PRNGKey(seed), cfg)
-        return M.fuse_inference_params(params, cfg), cfg
-    if path.endswith(".npz"):
+        fused = M.fuse_inference_params(params, cfg)
+    elif path.endswith(".npz"):
         params, cfg = load_checkpoint(path)
-        return M.fuse_inference_params(params, cfg), cfg
-    with open(path, "rb") as f:
-        return load_lpcnet_blob(f.read(), cfg), cfg
+        fused = M.fuse_inference_params(params, cfg)
+    else:
+        with open(path, "rb") as f:
+            fused = load_lpcnet_blob(f.read(), cfg)
+    if int8:
+        from .nn.quantized import quantize_fused
+        fused = quantize_fused(fused)
+    return fused, cfg
 
 
 class Synthesizer:

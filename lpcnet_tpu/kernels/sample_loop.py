@@ -51,6 +51,17 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
     table, GRU recurrents): bfloat16 (default, ~4x MXU throughput vs f32 on
     v5e; accumulation stays f32) or float32 for bit-closest parity runs.
     """
+    from ..nn import quantized as Q
+    if Q.is_quantized(fused):
+        # the Pallas kernel's MXU path is float/bf16; dequantize the int8
+        # matrices (exact: they sit on the 1/128 grid) and restore the
+        # float-layout keys
+        fused = dict(fused)
+        rec = (fused["gru_a_rec"]["recurrent_q8"].astype(jnp.float32) / 128.0
+               + jnp.concatenate([jnp.diag(d) for d in jnp.split(
+                   fused["gru_a_rec"]["recurrent_diag"], 3)], axis=1))
+        fused["gru_a_rec"] = dict(fused["gru_a_rec"], recurrent=rec)
+        fused["gru_b_in"] = fused.pop("gru_b_in_q8").astype(jnp.float32) / 128.0
     na, nb = cfg.rnn_units1, cfg.rnn_units2
     emb_cat = jnp.concatenate(
         [fused["embed_sig_a"], fused["embed_pred_a"], fused["embed_exc_a"]],

@@ -252,13 +252,25 @@ def sample_excitation(dual_fc, gru_b_state, rng):
 
 def sample_network_step(fused, state: SampleState, cond_a, cond_b,
                         sig_u, pred_u):
-    """One sample step given u-law codes of last signal and prediction."""
+    """One sample step given u-law codes of last signal and prediction.
+
+    Dispatches on the fused dict's form: float (default) or int8-quantized
+    (nn.quantized.quantize_fused) -- the latter matches the reference's
+    DOT_PROD numerics (src/vec.h:206-236) with int8 MXU matmuls.
+    """
+    from ..nn import quantized as Q
     gate_a = (cond_a
               + jnp.take(fused["embed_sig_a"], sig_u, axis=0)
               + jnp.take(fused["embed_pred_a"], pred_u, axis=0)
               + jnp.take(fused["embed_exc_a"], state.last_exc, axis=0))
-    h_a = nn.gru_precomputed_step(fused["gru_a_rec"], state.gru_a, gate_a)
-    gate_b = cond_b + jnp.matmul(h_a, fused["gru_b_in"], precision=nn.HIGHEST)
+    if Q.is_quantized(fused):
+        h_a = Q.gru_precomputed_step_q8(fused["gru_a_rec"], state.gru_a, gate_a)
+        gate_b = cond_b + Q.qmatmul(Q.quantize_act_int8(h_a),
+                                    fused["gru_b_in_q8"])
+    else:
+        h_a = nn.gru_precomputed_step(fused["gru_a_rec"], state.gru_a, gate_a)
+        gate_b = cond_b + jnp.matmul(h_a, fused["gru_b_in"],
+                                     precision=nn.HIGHEST)
     h_b = nn.gru_precomputed_step(fused["gru_b_rec"], state.gru_b, gate_b)
     exc, rng = sample_excitation(fused["dual_fc"], h_b, state.rng)
     return h_a, h_b, exc, rng
