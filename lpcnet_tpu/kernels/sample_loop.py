@@ -74,7 +74,7 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
                                  fused["dual_fc"]["bias"][:, 1]])[None, :]
     dual_factor = jnp.concatenate([fused["dual_fc"]["factor"][:, 0],
                                    fused["dual_fc"]["factor"][:, 1]])[None, :]
-    return {
+    kw = {
         "emb_cat": emb_cat,
         "a_rec": fused["gru_a_rec"]["recurrent"].astype(dtype),
         "a_bias1": fused["gru_a_rec"]["bias"][1][None, :].astype(jnp.float32),
@@ -86,6 +86,41 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
         "dual_factor": dual_factor.astype(jnp.float32),
         "logit_table": jnp.asarray(_logit_table())[None, :],  # [1, 256]
     }
+    kw.update(_merged_weights(kw, na, nb, dtype))
+    return kw
+
+
+def _merged_weights(kw, na, nb, dtype):
+    """Issue-count optimization: fold the (one-hot embedding, recurrent)
+    matmul pair of each GRU into ONE matmul over concatenated operands.
+
+    The reset-after GRU sums input and recurrent contributions for the z/r
+    gates but applies r only to the recurrent h-part, so the merged matrix
+    has 4N output columns: [z | r | h_input-side | h_recurrent-side], with
+    each operand's rows zeroed in the column block it does not feed.
+    """
+    def merge(w_in, w_rec, n):
+        k_in, k_rec = w_in.shape[0], w_rec.shape[0]
+        z = lambda r, c: jnp.zeros((r, c), dtype)
+        top = jnp.concatenate([w_in[:, :2 * n], w_in[:, 2 * n:], z(k_in, n)], 1)
+        bot = jnp.concatenate([w_rec[:, :2 * n], z(k_rec, n), w_rec[:, 2 * n:]], 1)
+        return jnp.concatenate([top, bot], axis=0)      # [k_in+k_rec, 4n]
+
+    return {
+        "a_merged": merge(kw["emb_cat"], kw["a_rec"], na),
+        "b_merged": merge(kw["b_in"], kw["b_rec"], nb),
+    }
+
+
+def _cond4(cond, bias1, n):
+    """Per-frame conditioning remapped to the merged 4N column layout, with
+    the recurrent bias folded in (saves two adds per sample step)."""
+    z = jnp.zeros(cond.shape[:-1] + (n,), cond.dtype)
+    c4 = jnp.concatenate([cond[..., :2 * n], cond[..., 2 * n:], z], axis=-1)
+    b4 = jnp.concatenate([bias1[..., :2 * n],
+                          jnp.zeros_like(bias1[..., :n]),
+                          bias1[..., 2 * n:]], axis=-1)
+    return c4 + b4
 
 
 def _lin2ulaw(x):
@@ -227,6 +262,184 @@ def _sample_kernel(n_samples, na, nb,
     jax.lax.fori_loop(0, n_samples // 8, octave, 0)
 
 
+def _sample_kernel_merged(n_samples, na, nb,
+                          # inputs
+                          amerged_ref, bmerged_ref,
+                          dualw_ref, dualb_ref, dualf_ref, table_ref,
+                          conda4_ref, condb4_ref, lpc_ref,
+                          ha_in, hb_in, sig_in, exc_in, de_in, rng_in,
+                          # outputs
+                          ha_out, hb_out, sig_out, exc_out, de_out, rng_out,
+                          pcm_out):
+    """3-matmul step variant: each GRU's (one-hot/input, recurrent) matmul
+    pair is fused into one MXU op over concatenated operands; the per-frame
+    conditioning arrives pre-mapped to the 4N merged layout with the
+    recurrent bias folded in (see _merged_weights/_cond4)."""
+    ha_out[:] = ha_in[:]
+    hb_out[:] = hb_in[:]
+    sig_out[:] = sig_in[:]
+    exc_out[:] = exc_in[:]
+    de_out[:] = de_in[:]
+    rng_out[:] = rng_in[:]
+
+    def step(t, _):
+        last_sig = sig_out[:]
+        lpc = lpc_ref[:]
+        pred = -jnp.sum(last_sig * lpc, axis=1, keepdims=True)
+        sig_u = _lin2ulaw(last_sig[:, 0:1])
+        pred_u = _lin2ulaw(pred)
+        exc_u = exc_out[:]
+
+        wdt = amerged_ref.dtype
+        l768 = jax.lax.broadcasted_iota(jnp.int32, (sig_u.shape[0], 768), 1)
+        oh = ((l768 == sig_u).astype(wdt)
+              + (l768 == pred_u + 256).astype(wdt)
+              + (l768 == exc_u + 512).astype(wdt))
+        h_a = ha_out[:]
+        xa = jnp.concatenate([oh, h_a.astype(wdt)], axis=1)   # [BT, 768+na]
+        m = jnp.dot(xa, amerged_ref[:],
+                    preferred_element_type=jnp.float32) + conda4_ref[:]
+        z = jax.nn.sigmoid(m[:, :na])
+        r = jax.nn.sigmoid(m[:, na:2 * na])
+        hc = jnp.tanh(m[:, 2 * na:3 * na] + r * m[:, 3 * na:])
+        h_a = z * h_a + (1.0 - z) * hc
+        ha_out[:] = h_a
+
+        h_b = hb_out[:]
+        xb = jnp.concatenate([h_a.astype(wdt), h_b.astype(wdt)], axis=1)
+        mb = jnp.dot(xb, bmerged_ref[:],
+                     preferred_element_type=jnp.float32) + condb4_ref[:]
+        zb = jax.nn.sigmoid(mb[:, :nb])
+        rb = jax.nn.sigmoid(mb[:, nb:2 * nb])
+        hcb = jnp.tanh(mb[:, 2 * nb:3 * nb] + rb * mb[:, 3 * nb:])
+        h_b = zb * h_b + (1.0 - zb) * hcb
+        hb_out[:] = h_b
+
+        # --- bit-tree sampling (identical to the unmerged kernel) ---------
+        z0 = rng_out[:, 0:1]
+        w0 = rng_out[:, 1:2]
+        j0 = rng_out[:, 2:3]
+        c0 = rng_out[:, 3:4]
+        r1, z0, w0, j0, c0 = _kiss99(z0, w0, j0, c0)
+        r2, z0, w0, j0, c0 = _kiss99(z0, w0, j0, c0)
+        rng_out[:, 0:1] = z0
+        rng_out[:, 1:2] = w0
+        rng_out[:, 2:3] = j0
+        rng_out[:, 3:4] = c0
+        bytes_ = [(r1 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)] + \
+                 [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
+
+        pre = jnp.dot(h_b, dualw_ref[:],
+                      preferred_element_type=jnp.float32) + dualb_ref[:]
+        tpre = dualf_ref[:] * jnp.tanh(pre)
+        all_logits = tpre[:, :256] + tpre[:, 256:]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, all_logits.shape, 1)
+        table_row = table_ref[:]
+
+        val = jnp.zeros_like(exc_u)
+        for b in range(8):
+            rows = (1 << b) | val
+            logit = jnp.sum(jnp.where(lanes == rows, all_logits, 0.0),
+                            axis=1, keepdims=True)
+            byte_idx = bytes_[b].astype(jnp.int32)
+            thr = jnp.sum(jnp.where(lanes == byte_idx, table_row, 0.0),
+                          axis=1, keepdims=True)
+            bit = (thr < logit).astype(jnp.int32)
+            val = (val << 1) | bit
+
+        pcm = pred + _ulaw2lin(val)
+        exc_out[:] = val
+        sig_out[:] = jnp.concatenate([pcm, last_sig[:, :LPC_ORDER - 1]], axis=1)
+        out = pcm + PREEMPHASIS * de_out[:]
+        de_out[:] = out
+        out = jnp.clip(out, -32767.0, 32767.0)
+        return jnp.floor(0.5 + out)
+
+    def octave(o, _):
+        cols = [step(o * 8 + j, None) for j in range(8)]
+        block = jnp.concatenate(cols, axis=1)
+        pcm_out[pl.ds(pl.multiple_of(o * 8, 8), 8), :] = block.T
+        return 0
+
+    jax.lax.fori_loop(0, n_samples // 8, octave, 0)
+
+
+# default pending the on-chip A/B (flip after measuring on real hardware)
+_MERGED = __import__("os").environ.get("LPCNET_KERNEL_MERGED", "0") != "0"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def _synthesize_frame_pallas_merged(kw, state: SampleState, cond_a, cond_b,
+                                    lpc, cfg: LPCNetConfig,
+                                    n_samples: int = 160
+                                    ) -> Tuple[SampleState, jnp.ndarray]:
+    """Merged-matmul variant of synthesize_frame_pallas."""
+    na, nb = cfg.rnn_units1, cfg.rnn_units2
+    b = cond_a.shape[0]
+    assert b % BT == 0, f"batch {b} must be a multiple of {BT}"
+    assert n_samples % 8 == 0, "n_samples must be a multiple of 8"
+    grid = (b // BT,)
+
+    conda4 = _cond4(cond_a, kw["a_bias1"][0], na)
+    condb4 = _cond4(cond_b, kw["b_bias1"][0], nb)
+    rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr, state.rng.jcong],
+                    axis=1)
+    exc = state.last_exc[:, None].astype(jnp.int32)
+    de = state.deemph[:, None]
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def b_spec(cols):
+        return pl.BlockSpec((BT, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_sample_kernel_merged, n_samples, na, nb)
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, na), jnp.float32),
+        jax.ShapeDtypeStruct((b, nb), jnp.float32),
+        jax.ShapeDtypeStruct((b, LPC_ORDER), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 4), jnp.uint32),
+        jax.ShapeDtypeStruct((n_samples, b), jnp.float32),
+    )
+    pcm_spec = pl.BlockSpec((n_samples, BT), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_specs = (
+        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
+        b_spec(4), pcm_spec,
+    )
+    in_specs = [
+        w_spec(kw["a_merged"].shape), w_spec(kw["b_merged"].shape),
+        w_spec(kw["dual_w"].shape), w_spec(kw["dual_bias"].shape),
+        w_spec(kw["dual_factor"].shape), w_spec(kw["logit_table"].shape),
+        b_spec(4 * na), b_spec(4 * nb), b_spec(LPC_ORDER),
+        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
+        b_spec(4),
+    ]
+
+    ha, hb, sig, exc2, de2, rng2, pcm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(kw["a_merged"], kw["b_merged"], kw["dual_w"], kw["dual_bias"],
+      kw["dual_factor"], kw["logit_table"],
+      conda4, condb4, lpc, state.gru_a, state.gru_b, state.last_sig,
+      exc, de, rng)
+
+    new_state = SampleState(
+        gru_a=ha, gru_b=hb, last_sig=sig,
+        last_exc=exc2[:, 0], deemph=de2[:, 0],
+        rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
+    )
+    return new_state, pcm.T
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
 def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
                             cfg: LPCNetConfig, n_samples: int = 160
@@ -306,6 +519,13 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
     return new_state, pcm.T
 
 
+def _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples):
+    """Kernel-variant dispatch: merged 3-matmul step (default) or the
+    original 5-matmul step (LPCNET_KERNEL_MERGED=0)."""
+    fn = _synthesize_frame_pallas_merged if _MERGED else synthesize_frame_pallas
+    return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples)
+
+
 def synthesize_frame_auto(kw, state: SampleState, cond_a, cond_b, lpc,
                           cfg: LPCNetConfig, n_samples: int = 160):
     """Batch-size-agnostic wrapper: pads the stream batch up to a BT
@@ -313,15 +533,14 @@ def synthesize_frame_auto(kw, state: SampleState, cond_a, cond_b, lpc,
     b = cond_a.shape[0]
     pb = (b + BT - 1) // BT * BT
     if pb == b:
-        return synthesize_frame_pallas(kw, state, cond_a, cond_b, lpc, cfg,
-                                       n_samples)
+        return _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples)
 
     def pad(x):
         widths = [(0, pb - b)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths)
 
     st_p = jax.tree.map(pad, state)
-    new_p, pcm = synthesize_frame_pallas(
+    new_p, pcm = _synth_pallas(
         kw, st_p, pad(cond_a), pad(cond_b), pad(lpc), cfg, n_samples)
     unpad = lambda x: x[:b]
     return jax.tree.map(unpad, new_p), pcm[:b]
