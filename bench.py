@@ -45,7 +45,8 @@ def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
         @jax.jit
         def step(fs, ss, f, fused, kw):
             fs, _, ca, cb, lpc = M.frame_network(fused, fs, f, cfg)
-            ss, pcm = K.synthesize_frame_pallas(kw, ss, ca, cb, lpc, cfg)
+            # honors LPCNET_KERNEL_MERGED / LPCNET_KERNEL_BT
+            ss, pcm = K._synth_pallas(kw, ss, ca, cb, lpc, cfg, 160)
             return fs, ss, pcm
 
         run = lambda fs, ss: step(fs, ss, feats, fused, kw)

@@ -90,3 +90,69 @@ class StreamPool:
     @property
     def n_active(self) -> int:
         return len(self.slot_of)
+
+
+class PLCStreamPool:
+    """Mixed-loss concealment pool over plc.batched.BatchedPLC.
+
+    Every 10 ms tick takes {stream_id: [160] pcm or None (lost)} and returns
+    concealed audio for every active stream -- each stream follows its own
+    loss pattern inside ONE jitted device step, which the host-control-flow
+    PLC cannot do (it would need one dispatch group per distinct pattern).
+    """
+
+    def __init__(self, fused, cfg: M.LPCNetConfig, plc_params,
+                 capacity: int = 256, enable_blending: bool = True):
+        from ..plc.batched import BatchedPLC
+        self.capacity = capacity
+        self.plc = BatchedPLC(fused, cfg, plc_params, batch=capacity,
+                              enable_blending=enable_blending)
+        self.free = list(range(capacity))[::-1]
+        self.slot_of: Dict[str, int] = {}
+        self._init_slot_state = None
+
+    def attach(self, stream_id: str) -> int:
+        if stream_id in self.slot_of:
+            return self.slot_of[stream_id]
+        if not self.free:
+            raise RuntimeError("PLC pool full")
+        slot = self.free.pop()
+        self.slot_of[stream_id] = slot
+        self._reset_slot(slot)
+        return slot
+
+    def detach(self, stream_id: str) -> None:
+        slot = self.slot_of.pop(stream_id, None)
+        if slot is not None:
+            self.free.append(slot)
+
+    def _reset_slot(self, slot: int):
+        import jax
+        if self._init_slot_state is None:
+            self._init_slot_state = self.plc.init_state()
+        fresh = self._init_slot_state
+
+        def put(cur, ini):
+            if cur.ndim >= 2 and cur.shape[1] == self.capacity:  # ring [R,B,..]
+                return cur.at[:, slot].set(ini[:, slot])
+            return cur.at[slot].set(ini[slot])
+
+        self.plc.state = jax.tree.map(put, self.plc.state, fresh)
+
+    def step(self, frames: Dict[str, np.ndarray | None]) -> Dict[str, np.ndarray]:
+        """frames[sid] = [160] pcm, or None for a lost frame."""
+        pcm = np.zeros((self.capacity, 160), np.float32)
+        lost = np.ones(self.capacity, bool)       # inactive slots just conceal
+        for sid, frame in frames.items():
+            slot = self.attach(sid)
+            if frame is None:
+                lost[slot] = True
+            else:
+                pcm[slot] = frame
+                lost[slot] = False
+        out = self.plc.step(pcm, lost)
+        return {sid: out[slot] for sid, slot in self.slot_of.items()}
+
+    @property
+    def n_active(self) -> int:
+        return len(self.slot_of)

@@ -59,3 +59,31 @@ def test_stream_pool():
     assert pool.n_active == 2
     out = pool.step_features({"s0": f["s0"], "s3": f["s2"]})
     assert "s3" in out and "s1" not in out
+
+
+def test_plc_stream_pool():
+    from lpcnet_tpu.models import lpcnet as M
+    from lpcnet_tpu.models import plc as PM
+    from lpcnet_tpu.runtime.serving import PLCStreamPool
+    cfg = M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=16,
+                         pitch_embed_dim=8)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+    pool = PLCStreamPool(fused, cfg, plc_params, capacity=4)
+    rng = np.random.RandomState(0)
+    frame = (rng.randn(160) * 1000).astype(np.float32)
+    # mixed per-stream losses in one tick
+    for k in range(6):
+        out = pool.step({
+            "a": frame,
+            "b": None if k in (2, 3) else frame,   # b loses packets 1
+            "c": frame if k < 4 else None,          # c loses the tail
+        })
+    assert set(out) == {"a", "b", "c"}
+    assert all(v.shape == (160,) for v in out.values())
+    assert all(np.isfinite(v).all() for v in out.values())
+    assert pool.n_active == 3
+    pool.detach("b")
+    out = pool.step({"a": frame})
+    assert set(out) == {"a", "c"}
