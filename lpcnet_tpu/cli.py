@@ -56,6 +56,10 @@ def main(argv=None):
                     help="model weights (.npz checkpoint or DNNw .bin blob)")
     ap.add_argument("--batch", type=int, default=1,
                     help="process the file as B interleaved independent streams")
+    ap.add_argument("--sampling", choices=["tree", "pdf"], default="tree",
+                    help="excitation sampler: C bit-tree (default) or the "
+                         "full-PDF voicing-temperature sampler of the "
+                         "reference's Python synthesis")
     ap.add_argument("--dred-frames", type=int, default=52,
                     help="redundancy depth in 10ms frames for dred-payload")
     ap.add_argument("--q0", type=int, default=9)
@@ -99,10 +103,35 @@ def main(argv=None):
         feats = np.fromfile(ns.args[0], dtype=np.float32)
         n = len(feats) // NB_TOTAL_FEATURES
         feats = feats[: n * NB_TOTAL_FEATURES].reshape(n, NB_TOTAL_FEATURES)
-        synth = api.Synthesizer(ns.model, batch=1)
-        out = []
-        for t in range(n):
-            out.append(synth.synthesize(feats[t][None])[0])
+        if ns.sampling == "pdf":
+            import jax
+            import jax.numpy as jnp
+            from .models import lpcnet as M
+            fused, cfg = api.load_model(ns.model)
+            fstate = M.init_frame_state(1, cfg)
+            sstate = M.init_sample_state(1, cfg)
+
+            @jax.jit
+            def step(fstate, sstate, f, fused):
+                fstate, _, ca, cb, lpc = M.frame_network(fused, fstate, f, cfg)
+                new_ss, pcm = M.synthesize_frame(
+                    fused, sstate, ca, cb, lpc, pdf_corr=f[:, 19])
+                live = fstate.frame_count > cfg.lookahead
+                sel = lambda a, b: jnp.where(
+                    live.reshape(live.shape + (1,) * (a.ndim - 1)), a, b)
+                return fstate, jax.tree.map(sel, new_ss, sstate), \
+                    jnp.where(live[:, None], pcm, 0.0)
+
+            out = []
+            for t in range(n):
+                fstate, sstate, pcm = step(
+                    fstate, sstate, jnp.asarray(feats[t][None]), fused)
+                out.append(np.asarray(pcm)[0])
+        else:
+            synth = api.Synthesizer(ns.model, batch=1)
+            out = []
+            for t in range(n):
+                out.append(synth.synthesize(feats[t][None])[0])
         np.concatenate(out).astype(np.int16).tofile(ns.args[1])
         print(f"synthesized {n} frames ({n * FRAME_SIZE} samples)")
 

@@ -250,13 +250,42 @@ def sample_excitation(dual_fc, gru_b_state, rng):
     return val, rng
 
 
+def sample_excitation_pdf(dual_fc, gru_b_state, rng, corr):
+    """Full-PDF sampling with voicing temperature and tail cutoff, the
+    sampling used by the reference's Python synthesis
+    (training_tf2/test_lpcnet.py:107-114): pdf ∝ p^(1+max(0,1.5·corr-0.5)),
+    then p = max(p-0.002, 0), renormalized, sampled. One KISS99 draw
+    supplies the uniform.
+
+    Args: corr [B] pitch-correlation feature (features[..., 19]).
+    Returns (exc [B] int32, new_rng).
+    """
+    from ..train.losses import tree_to_pdf
+    from ..utils.rng import kiss99_step
+    p_nodes = nn.mdense(dual_fc, gru_b_state)          # sigmoid tree probs
+    pdf = tree_to_pdf(p_nodes)
+    power = jnp.maximum(0.0, 1.5 * corr - 0.5)[..., None]
+    pdf = pdf * jnp.power(jnp.clip(pdf, 1e-18, 1.0), power)
+    pdf = pdf / (1e-18 + jnp.sum(pdf, axis=-1, keepdims=True))
+    pdf = jnp.maximum(pdf - 0.002, 0.0)
+    pdf = pdf / (1e-8 + jnp.sum(pdf, axis=-1, keepdims=True))
+    r, rng = kiss99_step(rng)
+    u = (r.astype(jnp.float32) + 0.5) / jnp.float32(2 ** 32)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    exc = jnp.sum((cdf < u[..., None]).astype(jnp.int32), axis=-1)
+    return jnp.clip(exc, 0, 255), rng
+
+
 def sample_network_step(fused, state: SampleState, cond_a, cond_b,
-                        sig_u, pred_u):
+                        sig_u, pred_u, pdf_corr=None):
     """One sample step given u-law codes of last signal and prediction.
 
     Dispatches on the fused dict's form: float (default) or int8-quantized
     (nn.quantized.quantize_fused) -- the latter matches the reference's
     DOT_PROD numerics (src/vec.h:206-236) with int8 MXU matmuls.
+
+    pdf_corr selects full-PDF sampling (sample_excitation_pdf) instead of
+    the C bit-tree sampler.
     """
     from ..nn import quantized as Q
     gate_a = (cond_a
@@ -272,12 +301,16 @@ def sample_network_step(fused, state: SampleState, cond_a, cond_b,
         gate_b = cond_b + jnp.matmul(h_a, fused["gru_b_in"],
                                      precision=nn.HIGHEST)
     h_b = nn.gru_precomputed_step(fused["gru_b_rec"], state.gru_b, gate_b)
-    exc, rng = sample_excitation(fused["dual_fc"], h_b, state.rng)
+    if pdf_corr is None:
+        exc, rng = sample_excitation(fused["dual_fc"], h_b, state.rng)
+    else:
+        exc, rng = sample_excitation_pdf(fused["dual_fc"], h_b, state.rng,
+                                         pdf_corr)
     return h_a, h_b, exc, rng
 
 
 def synthesize_frame(fused, state: SampleState, cond_a, cond_b, lpc,
-                     n_samples: int = 160, preload=None):
+                     n_samples: int = 160, preload=None, pdf_corr=None):
     """Generate one frame of audio for a batch of streams.
 
     Args:
@@ -289,6 +322,8 @@ def synthesize_frame(fused, state: SampleState, cond_a, cond_b, lpc,
         excitation/signal fed back is derived from the target instead of the
         model's own sample. Full-frame teacher forcing only (codec PLC uses
         whole frames).
+      pdf_corr: optional [B] pitch correlation; switches to the full-PDF
+        temperature/tail-cutoff sampler (training_tf2/test_lpcnet.py).
 
     Returns (new_state, pcm [B, n_samples] float in [-32767, 32767]).
 
@@ -303,7 +338,7 @@ def synthesize_frame(fused, state: SampleState, cond_a, cond_b, lpc,
         sig_u = mulaw.lin2ulaw(st.last_sig[..., 0])
         pred_u = mulaw.lin2ulaw(pred)
         h_a, h_b, exc, rng = sample_network_step(
-            fused, st, cond_a, cond_b, sig_u, pred_u)
+            fused, st, cond_a, cond_b, sig_u, pred_u, pdf_corr=pdf_corr)
         if use_preload:
             # teacher forcing: target is the de-emphasized waveform
             pcm = target - PREEMPHASIS * st.deemph

