@@ -58,3 +58,39 @@ def test_sharded_synthesis():
             jax.device_get(fused), fstate1, jax.device_get(feats), cfg)
         _, pcm_ref = M.synthesize_frame(jax.device_get(fused), sstate1, ca, cb, lpc)
     np.testing.assert_allclose(np.asarray(pcm), np.asarray(pcm_ref), atol=1.0)
+
+
+def test_sharded_int8_synthesis():
+    """The int8 quantized inference path under batch sharding: int8 weight
+    tables replicate; the int8 matmuls stay per-chip."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 cpu devices")
+    from lpcnet_tpu.nn.quantized import quantize_fused
+    mesh = pmesh.make_mesh(devs[:8])
+    cfg = M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=16,
+                         pitch_embed_dim=8)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    qfused = quantize_fused(M.fuse_inference_params(params, cfg))
+
+    b = 16
+    feats = jax.random.normal(jax.random.PRNGKey(1), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    sstate = M.init_sample_state(b, cfg)
+    dsh = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    qfused = jax.device_put(qfused, repl)
+    fstate = jax.device_put(fstate, dsh)
+    sstate = jax.device_put(sstate, dsh)
+    feats = jax.device_put(feats, dsh)
+
+    @jax.jit
+    def step(fused, fstate, sstate, feats):
+        fstate, _, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+        sstate, pcm = M.synthesize_frame(fused, sstate, ca, cb, lpc)
+        return fstate, sstate, pcm
+
+    _, _, pcm = step(qfused, fstate, sstate, feats)
+    assert pcm.shape == (b, 160)
+    assert np.isfinite(np.asarray(pcm)).all()
+    assert len({s.device for s in pcm.addressable_shards}) == 8
