@@ -17,8 +17,8 @@ flushes) are unrolled to their bounded maxima with per-stream enable masks
 iterations; the deferred feature buffer holds at most 2*(k-1) = 4 frames).
 The final state is selected per stream by the loss flag.
 
-Scope: causal mode, with or without blending (LPCNET_PLC_CAUSAL /
-LPCNET_PLC_CODEC), no DC filter, no FEC. The host PLC remains the reference
+Scope: causal mode with or without blending (LPCNET_PLC_CAUSAL /
+LPCNET_PLC_CODEC) and the non-causal mode; no DC filter, no FEC. The host PLC remains the reference
 for the full option surface. Parity: bit-exact against plc.py when all
 streams share a pattern (test_plc_batched).
 """
@@ -61,6 +61,8 @@ class BatchedPLCState(NamedTuple):
     skip_analysis: jnp.ndarray  # [B] int32
     blend: jnp.ndarray          # [B] bool
     loss_count: jnp.ndarray     # [B] int32
+    queued: jnp.ndarray         # [B] bool (non-causal deferred resync)
+    queued_samples: jnp.ndarray  # [B, 160]
 
 
 def _bwhere(mask, new, old):
@@ -82,20 +84,24 @@ class BatchedPLC:
     """
 
     def __init__(self, fused, cfg: M.LPCNetConfig, plc_params, batch: int,
-                 enable_blending: bool = True,
+                 enable_blending: bool = True, non_causal: bool = False,
                  plc_cfg: Optional[PM.PLCConfig] = None):
+        if non_causal and cfg.lookahead != 0:
+            raise ValueError("non-causal PLC needs a lookahead-0 model")
         self.fused = fused
         self.cfg = cfg
         self.batch = batch
         self.enable_blending = enable_blending
+        self.non_causal = non_causal
         self.plc_params = plc_params
         self.plc_cfg = plc_cfg or PM.PLCConfig()
         self.delay = cfg.lookahead
         self.plc_buf_size = self.delay * FRAME_SIZE + _TO
         self.state = self.init_state()
         delay, buf_size = self.delay, self.plc_buf_size
+        step_fn = _plc_frame_step_nc if non_causal else _plc_frame_step
         self._step = jax.jit(
-            lambda st, fw, pp, pcm, lost: _plc_frame_step(
+            lambda st, fw, pp, pcm, lost: step_fn(
                 st, fw, pp, pcm, lost, cfg, enable_blending, delay, buf_size))
 
     def init_state(self) -> BatchedPLCState:
@@ -120,6 +126,8 @@ class BatchedPLC:
             skip_analysis=jnp.zeros((b,), jnp.int32),
             blend=jnp.zeros((b,), bool),
             loss_count=jnp.zeros((b,), jnp.int32),
+            queued=jnp.zeros((b,), bool),
+            queued_samples=jnp.zeros((b, FRAME_SIZE), jnp.float32),
         )
 
     def reset(self):
@@ -327,6 +335,137 @@ def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
         loss_count=jnp.zeros_like(s.loss_count),
         blend=jnp.zeros_like(s.blend))
     return s, jnp.clip(pcm, -32768, 32767)
+
+
+# ---------------------------------------------------------------------------
+# Non-causal mode (src/lpcnet_plc.c:342-492, sans DC filter)
+# ---------------------------------------------------------------------------
+
+def _process_queued_update(fused, s: BatchedPLCState, cfg):
+    """Deferred resync queued by the previous recovery frame
+    (src/lpcnet_plc.c:277-281): teacher-force the queued samples, masked by
+    the per-stream queued flag."""
+    q = s.queued
+    s = _fnet_masked(fused, s, _pad36(s.features), q, cfg)
+    adv = q[:, None] & jnp.ones_like(s.queued_samples, bool)
+    s, _ = _tail_masked(fused, s, s.queued_samples, adv, adv, cfg)
+    return s._replace(queued=jnp.zeros_like(q))
+
+
+def _conceal_path_nc(fused, plc_params, s: BatchedPLCState, cfg):
+    """lpcnet_plc_conceal_non_causal (src/lpcnet_plc.c:452-492)."""
+    b = s.features.shape[0]
+    ones = jnp.ones((b,), bool)
+    s = _process_queued_update(fused, s, cfg)
+    zeros_in = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+    s = _plc_pred_masked(plc_params, s, zeros_in, ones)
+    # non-causal attenuates with the PRE-increment loss count (:466 vs :494)
+    lc = s.loss_count
+    att = jnp.where(lc >= 10, ATT_TABLE[9] - 2.0 * (lc - 9),
+                    jnp.asarray(ATT_TABLE)[jnp.minimum(lc, 9)])
+    s = s._replace(features=s.features.at[:, 0].set(
+        jnp.maximum(-10.0, s.features[:, 0] + att)))
+    first = s.loss_count == 0
+    buf_head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
+    s = _fnet_masked(fused, s, _pad36(s.features), ones, cfg)
+    adv = jnp.ones((b, _TO), bool)
+    # first loss: teacher-force the buffered lookahead; later: free-run
+    s, t1 = _tail_masked(fused, s, buf_head, first[:, None] & adv, adv, cfg)
+    head = jnp.where(first[:, None], buf_head, t1)
+    adv80 = jnp.ones((b, _N1), bool)
+    s, tail = _tail_masked(fused, s, jnp.zeros((b, _N1)),
+                           jnp.zeros((b, _N1), bool), adv80, cfg)
+    pcm = jnp.concatenate([head, tail], axis=1)
+    # continued loss: refresh the buffer head and re-run feature analysis
+    s = s._replace(pcm_buf=jnp.where(
+        first[:, None], s.pcm_buf,
+        s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(t1)))
+    new_enc, _ = F.compute_single_frame_features(s.enc, s.pcm_buf[:, :FRAME_SIZE])
+    s = s._replace(enc=_bwhere(~first, new_enc, s.enc))
+    s = s._replace(
+        pcm_buf=s.pcm_buf.at[:, :FRAME_SIZE - _TO].set(pcm[:, _TO:]),
+        loss_count=s.loss_count + 1)
+    return s, jnp.clip(pcm, -32768, 32767)
+
+
+def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg):
+    """lpcnet_plc_update_non_causal (src/lpcnet_plc.c:349-450), sans DC."""
+    b = pcm.shape[0]
+    s = _process_queued_update(fused, s, cfg)
+    pcm_save = pcm
+    burg_feats = burg_cepstral_analysis(pcm)
+    rec = s.loss_count > 0          # first good frame after a loss
+    # --- recovery: predict across the gap, reverse-blend into the buffer ---
+    inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+    inp = inp.at[:, :2 * NB_BANDS].set(burg_feats)
+    inp = inp.at[:, -1].set(1.0)
+    s = _plc_pred_masked(plc_params, s, inp, rec)
+    saved = (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc)
+    s = _fnet_masked(fused, s, _pad36(s.features), rec, cfg)
+    advTO = rec[:, None] & jnp.ones((b, _TO), bool)
+    s, fwd = _tail_masked(fused, s, jnp.zeros((b, _TO)),
+                          jnp.zeros((b, _TO), bool), advTO, cfg)
+    s = s._replace(pcm_buf=jnp.where(
+        rec[:, None],
+        s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(fwd), s.pcm_buf))
+    # reverse-time synthesis from the incoming audio back toward the gap
+    fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
+    s = s._replace(sstate=_bwhere(rec, fresh, s.sstate))
+    rev = pcm[:, ::-1]
+    adv160 = rec[:, None] & jnp.ones((b, FRAME_SIZE), bool)
+    s = _fnet_masked(fused, s, _pad36(s.features), rec, cfg)
+    s, _ = _tail_masked(fused, s, rev, adv160, adv160, cfg)
+    s, rev_tail = _tail_masked(fused, s, jnp.zeros((b, _TO)),
+                               jnp.zeros((b, _TO), bool), advTO, cfg)
+    w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_TO) / _TO)
+    # buf[F-1-i] = w[i]*buf[F-1-i] + (1-w[i])*rev_tail[i]
+    head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
+    blended = jnp.floor(0.5 + w[::-1] * head + (1 - w[::-1]) * rev_tail[:, ::-1])
+    s = s._replace(pcm_buf=jnp.where(
+        rec[:, None],
+        s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(blended), s.pcm_buf))
+    restored = _bwhere(rec, saved,
+                       (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc))
+    s = s._replace(fstate=restored[0], sstate=restored[1], cond_a=restored[2],
+                   cond_b=restored[3], lpc=restored[4])
+    qs = jnp.concatenate([s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE],
+                          pcm[:, :FRAME_SIZE - _TO]], axis=1)
+    s = s._replace(
+        queued=jnp.where(rec, True, s.queued),
+        queued_samples=jnp.where(rec[:, None], qs, s.queued_samples))
+    new_enc, _ = F.compute_single_frame_features(s.enc, s.pcm_buf[:, :FRAME_SIZE])
+    s = s._replace(enc=_bwhere(rec, new_enc, s.enc))
+    # --- common: analyze the incoming frame ---
+    s, enc_feats = _enc_step(s, pcm)
+    good = ~rec
+    inp2 = inp.at[:, 2 * NB_BANDS:2 * NB_BANDS + NB_FEATURES].set(
+        enc_feats[:, :NB_FEATURES])
+    s = _plc_pred_masked(plc_params, s, inp2, good)
+    s = _fnet_masked(fused, s, enc_feats, good, cfg)
+    buf_head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
+    advTO_g = good[:, None] & jnp.ones((b, _TO), bool)
+    s, _ = _tail_masked(fused, s, buf_head, advTO_g, advTO_g, cfg)
+    adv80_g = good[:, None] & jnp.ones((b, _N1), bool)
+    s, _ = _tail_masked(fused, s, pcm[:, :_N1], adv80_g, adv80_g, cfg)
+    out = jnp.concatenate([s.pcm_buf[:, _TO:FRAME_SIZE], pcm[:, :_TO]], axis=1)
+    s = s._replace(
+        pcm_buf=s.pcm_buf.at[:, :FRAME_SIZE].set(pcm_save),
+        loss_count=jnp.zeros_like(s.loss_count))
+    return s, jnp.clip(out, -32768, 32767)
+
+
+def _plc_frame_step_nc(state: BatchedPLCState, fused, plc_params, pcm, lost,
+                       cfg, enable_blending, delay, plc_buf_size):
+    s_c, out_c = _conceal_path_nc(fused, plc_params, state, cfg)
+    s_u, out_u = _update_path_nc(fused, plc_params, state, pcm, cfg)
+    ring = jax.tree.map(
+        lambda c, u: jnp.where(lost[None, :, None], c, u),
+        s_c.plc_ring, s_u.plc_ring)
+    d_c, d_u = s_c._asdict(), s_u._asdict()
+    s = BatchedPLCState(**{
+        k: ring if k == "plc_ring" else _bwhere(lost, d_c[k], d_u[k])
+        for k in d_c})
+    return s, jnp.where(lost[:, None], out_c, out_u)
 
 
 def _plc_frame_step(state: BatchedPLCState, fused, plc_params, pcm, lost,

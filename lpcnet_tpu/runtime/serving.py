@@ -102,11 +102,13 @@ class PLCStreamPool:
     """
 
     def __init__(self, fused, cfg: M.LPCNetConfig, plc_params,
-                 capacity: int = 256, enable_blending: bool = True):
+                 capacity: int = 256, enable_blending: bool = True,
+                 non_causal: bool = False):
         from ..plc.batched import BatchedPLC
         self.capacity = capacity
         self.plc = BatchedPLC(fused, cfg, plc_params, batch=capacity,
-                              enable_blending=enable_blending)
+                              enable_blending=enable_blending,
+                              non_causal=non_causal)
         self.free = list(range(capacity))[::-1]
         self.slot_of: Dict[str, int] = {}
         self._init_slot_state = None

@@ -20,15 +20,22 @@ from lpcnet_tpu.plc.batched import BatchedPLC
 from lpcnet_tpu.plc.plc import LPCNET_PLC_CAUSAL, LPCNET_PLC_CODEC, PLC
 
 
-def _make_pair(batch, enable_blending=True, seed=0):
-    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32)
+def _make_pair(batch, enable_blending=True, seed=0, non_causal=False):
+    lookahead = 0 if non_causal else 2
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
+                         lookahead=lookahead)
     params = M.init_params(jax.random.PRNGKey(seed), cfg)
     fused = M.fuse_inference_params(params, cfg)
     plc_params = PM.init_params(jax.random.PRNGKey(seed + 1))
-    options = LPCNET_PLC_CAUSAL if enable_blending else LPCNET_PLC_CODEC
+    if non_causal:
+        from lpcnet_tpu.plc.plc import LPCNET_PLC_NONCAUSAL
+        options = LPCNET_PLC_NONCAUSAL
+    else:
+        options = LPCNET_PLC_CAUSAL if enable_blending else LPCNET_PLC_CODEC
     host = PLC(fused, cfg, plc_params, options=options, batch=batch)
     batched = BatchedPLC(fused, cfg, plc_params, batch=batch,
-                         enable_blending=enable_blending)
+                         enable_blending=enable_blending,
+                         non_causal=non_causal)
     return host, batched
 
 
@@ -56,6 +63,26 @@ def test_batched_matches_host_shared_pattern(enable_blending):
             ref = host.update(frame)
         out = batched.step(frame, np.full(batch, lost_per_frame[k]))
         np.testing.assert_allclose(out, ref, atol=1e-3, err_msg=f"frame {k}")
+
+
+def test_batched_matches_host_non_causal():
+    """Host parity within 1 LSB: the host PLC's recovery crossfade runs in
+    float64 numpy (plc.py _update_non_causal) while the batched step is
+    float32 on device, so isolated samples can round one count apart."""
+    batch, n_frames = 2, 14
+    host, batched = _make_pair(batch, non_causal=True)
+    pcm = _speech(n_frames, batch)
+    lost_per_frame = np.array([0, 0, 0, 0, 1, 1, 0, 0, 1, 1, 1, 1, 0, 0])
+    for k in range(n_frames):
+        frame = pcm[:, k * 160:(k + 1) * 160]
+        if lost_per_frame[k]:
+            ref = host.conceal()
+        else:
+            ref = host.update(frame)
+        out = batched.step(frame, np.full(batch, lost_per_frame[k]))
+        d = np.abs(out - ref)
+        assert d.max() <= 1.0, f"frame {k}: max {d.max()}"
+        assert (d > 1e-3).mean() < 0.02, f"frame {k}: too many rounding diffs"
 
 
 def test_batched_mixed_patterns_self_consistent():
