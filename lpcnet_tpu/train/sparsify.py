@@ -29,16 +29,21 @@ class SparsifySchedule:
     quantize: bool = False
 
     @staticmethod
-    def from_scratch_gru_a(density=(0.05, 0.05, 0.2)):
-        return SparsifySchedule(2000, 20000, 400, density)
+    def from_scratch_gru_a(density=(0.05, 0.05, 0.2), scale: float = 1.0):
+        return SparsifySchedule(int(2000 * scale), int(20000 * scale), 400,
+                                density)
 
     @staticmethod
-    def from_scratch_gru_b(density=(1.0, 1.0, 1.0)):
-        return SparsifySchedule(2000, 40000, 400, density)
+    def from_scratch_gru_b(density=(1.0, 1.0, 1.0), scale: float = 1.0):
+        return SparsifySchedule(int(2000 * scale), int(40000 * scale), 400,
+                                density)
 
     @staticmethod
-    def quantize_finetune(density):
-        return SparsifySchedule(10000, 30000, 100, density, quantize=True)
+    def quantize_finetune(density, scale: float = 1.0):
+        """Reference schedule (train_lpcnet.py:196-202); `scale` compresses
+        it proportionally for short runs."""
+        return SparsifySchedule(int(10000 * scale), int(30000 * scale), 100,
+                                density, quantize=True)
 
     def active(self, step: int) -> bool:
         return (self.quantize

@@ -41,6 +41,7 @@ class TrainConfig:
     gamma: float = 2.0            # e2e u-law compensation
     density: Tuple[float, float, float] = (0.05, 0.05, 0.2)
     grub_density: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    schedule_scale: float = 1.0   # compresses sparsify/quantize schedules
 
     @property
     def chunk_samples(self) -> int:
@@ -127,12 +128,13 @@ class Trainer:
         params = M.init_params(jax.random.PRNGKey(seed), self.cfg)
         self.state = TrainState(params, self.optimizer.init(params),
                                 jnp.zeros((), jnp.int32))
+        sc = self.tc.schedule_scale
         if self.tc.quantize:
-            self.sched_a = SparsifySchedule.quantize_finetune(self.tc.density)
-            self.sched_b = SparsifySchedule.quantize_finetune(self.tc.grub_density)
+            self.sched_a = SparsifySchedule.quantize_finetune(self.tc.density, sc)
+            self.sched_b = SparsifySchedule.quantize_finetune(self.tc.grub_density, sc)
         else:
-            self.sched_a = SparsifySchedule.from_scratch_gru_a(self.tc.density)
-            self.sched_b = SparsifySchedule.from_scratch_gru_b(self.tc.grub_density)
+            self.sched_a = SparsifySchedule.from_scratch_gru_a(self.tc.density, sc)
+            self.sched_b = SparsifySchedule.from_scratch_gru_b(self.tc.grub_density, sc)
         step = make_train_step(self.cfg, self.tc, self.optimizer,
                                self.sched_a, self.sched_b)
         # GSPMD: state replicated, batch sharded on the data axis; shardings

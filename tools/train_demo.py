@@ -69,6 +69,8 @@ def main():
                     help="npz checkpoint to initialize weights from")
     ap.add_argument("--quantize", action="store_true",
                     help="quantize-finetune mode (requires --init-from)")
+    ap.add_argument("--schedule-scale", type=float, default=1.0,
+                    help="compress the sparsify/quantize schedules")
     args = ap.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -94,7 +96,8 @@ def main():
     from lpcnet_tpu.weights.lpcnet_arrays import save_lpcnet_blob
 
     cfg = LPCNetConfig(rnn_units1=args.grua_size)
-    tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize)
+    tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize,
+                     schedule_scale=args.schedule_scale)
     loader = LPCNetLoader(dpath, fpath, batch_size=args.batch_size)
     print(f"{len(loader)} batches/epoch", flush=True)
     trainer = Trainer(cfg, tc)
