@@ -1,4 +1,4 @@
-"""Fully-batched PLC with per-stream loss patterns (causal mode).
+"""Fully-batched PLC with per-stream loss patterns (causal + non-causal).
 
 The host-side PLC (plc.py) mirrors the C state machine exactly but requires
 every stream in a batch to share one loss pattern, because the control flow
