@@ -103,6 +103,21 @@ def test_sparsify_structure():
         assert density < 0.45, density
 
 
+def test_quantize_schedule_snaps_to_grid():
+    """Past t_end the progressive quantizer snaps every weight onto the
+    1/128 grid (training_tf2/lpcnet.py:118-126) -- the state int8 inference
+    loads losslessly."""
+    from lpcnet_tpu.train.sparsify import progressive_quantize
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.randn(16, 48).astype(np.float32) * 0.3)
+    sched = SparsifySchedule.quantize_finetune((0.2, 0.2, 0.2), scale=0.001)
+    out = np.asarray(progressive_quantize(w, sched, step=1000))
+    np.testing.assert_allclose(out * 128.0, np.round(out * 128.0), atol=1e-5)
+    # mid-ramp: only residuals under the threshold snap
+    mid = np.asarray(progressive_quantize(w, sched, step=sched.t_start))
+    assert np.any(mid * 128.0 != np.round(mid * 128.0))
+
+
 def test_weight_clip():
     rng = np.random.RandomState(4)
     w = jnp.asarray(rng.randn(8, 24).astype(np.float32) * 3)
