@@ -288,18 +288,28 @@ def get_decoder_chunks(z_frames: int, cfg: RDOVAEConfig, chunks_per_offset: int 
     return chunks
 
 
-def training_forward(params, features, q_ids, rng, cfg: RDOVAEConfig):
+def training_forward(params, features, q_ids, rng, cfg: RDOVAEConfig,
+                     state_dropout_rate: float = 0.0):
     """Full training graph (torch rdovae.py:516-562).
 
     Args: features [B, T, 20] (T % 4 == 0), q_ids [B, T/2] int32.
+    state_dropout_rate: fault-injection training knob -- zero a sequence's
+    quantized decoder-init states with this probability, teaching the
+    decoder to survive a lost state (torch rdovae.py:533-537).
     """
     stats = statistical_model(params, q_ids, cfg)
     z, states = encode_seq(params, features, cfg)
     z = z * stats["quant_scale"]
     z = soft_dead_zone(z, stats["dead_zone"])
+    rng, drop_rng = jax.random.split(rng)
     z_q = hard_quantize(z) / stats["quant_scale"]
     z_n = noise_quantize(z, rng) / stats["quant_scale"]
     states_q = soft_pvq(states, cfg.pvq_num_pulses)
+    if state_dropout_rate > 0:
+        drop = jax.random.uniform(drop_rng, (states_q.shape[0],)
+                                  ) < state_dropout_rate
+        states_q = states_q * (1.0 - drop.astype(states_q.dtype)
+                               )[:, None, None]
 
     chunks = get_decoder_chunks(z.shape[1], cfg)
     outputs_hq, outputs_sq = [], []
@@ -315,9 +325,11 @@ def training_forward(params, features, q_ids, rng, cfg: RDOVAEConfig):
             "outputs_soft_quant": outputs_sq, "statistical_model": stats}
 
 
-def rdovae_loss(params, features, rate_lambda, q_ids, rng, cfg: RDOVAEConfig):
+def rdovae_loss(params, features, rate_lambda, q_ids, rng, cfg: RDOVAEConfig,
+                state_dropout_rate: float = 0.0):
     """Total loss (train_rdovae.py:195-228)."""
-    out = training_forward(params, features, q_ids, rng, cfg)
+    out = training_forward(params, features, q_ids, rng, cfg,
+                           state_dropout_rate=state_dropout_rate)
     stats = out["statistical_model"]
     z = out["z"]
     lam_up = jnp.repeat(rate_lambda, cfg.enc_frames_per_step, axis=1)

@@ -32,6 +32,7 @@ class RDOVAETrainConfig:
     lambda_min: float = 2e-4
     lambda_max: float = 0.0104
     weight_clip: float = 0.496
+    state_dropout_rate: float = 0.0   # fault injection: drop decoder inits
 
 
 class RDOVAEDataset:
@@ -106,7 +107,8 @@ class RDOVAETrainer:
         def step_fn(state: RDOVAETrainState, batch, rng):
             def loss(p):
                 return RV.rdovae_loss(p, batch["features"], batch["rate_lambda"],
-                                      batch["q_ids"], rng, self.cfg)
+                                      batch["q_ids"], rng, self.cfg,
+                                      self.tc.state_dropout_rate)
             (_, metrics), grads = jax.value_and_grad(loss, has_aux=True)(state.params)
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        state.params)
