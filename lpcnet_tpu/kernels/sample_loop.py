@@ -38,7 +38,16 @@ LOG256 = 5.5451774445
 _SCALE = 255.0 / 32768.0
 _SCALE_1 = 32768.0 / 255.0
 
-BT = int(__import__("os").environ.get("LPCNET_KERNEL_BT", "256"))  # streams per grid step
+_BT_ENV = __import__("os").environ.get("LPCNET_KERNEL_BT")
+BT = int(_BT_ENV or "256")        # default tile; see _pick_bt
+
+
+def _pick_bt(padded_batch: int) -> int:
+    """Batch-tile selection, measured on v5e (BENCHMARKS.md): 512-stream
+    tiles are ~4% faster once the batch fills them; 256 otherwise."""
+    if _BT_ENV:
+        return int(_BT_ENV)
+    return 512 if padded_batch % 512 == 0 else 256
 
 # CPU tests run the kernel in interpreter mode
 _INTERPRET = bool(__import__("os").environ.get("LPCNET_PALLAS_INTERPRET"))
@@ -368,12 +377,13 @@ def _sample_kernel_merged(n_samples, na, nb,
 _MERGED = __import__("os").environ.get("LPCNET_KERNEL_MERGED", "0") != "0"
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "bt"))
 def _synthesize_frame_pallas_merged(kw, state: SampleState, cond_a, cond_b,
                                     lpc, cfg: LPCNetConfig,
-                                    n_samples: int = 160
+                                    n_samples: int = 160, bt: int = BT
                                     ) -> Tuple[SampleState, jnp.ndarray]:
     """Merged-matmul variant of synthesize_frame_pallas."""
+    BT = bt
     na, nb = cfg.rnn_units1, cfg.rnn_units2
     b = cond_a.shape[0]
     assert b % BT == 0, f"batch {b} must be a multiple of {BT}"
@@ -440,9 +450,10 @@ def _synthesize_frame_pallas_merged(kw, state: SampleState, cond_a, cond_b,
     return new_state, pcm.T
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "bt"))
 def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
-                            cfg: LPCNetConfig, n_samples: int = 160
+                            cfg: LPCNetConfig, n_samples: int = 160,
+                            bt: int = BT
                             ) -> Tuple[SampleState, jnp.ndarray]:
     """Drop-in Pallas replacement for models.lpcnet.synthesize_frame
     (free-running path; teacher forcing uses the scan path).
@@ -452,6 +463,7 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
       state: SampleState [B, ...]; B must be a multiple of BT (pad upstream).
     Returns (new_state, pcm [B, n_samples]).
     """
+    BT = bt
     na, nb = cfg.rnn_units1, cfg.rnn_units2
     b = cond_a.shape[0]
     assert b % BT == 0, f"batch {b} must be a multiple of {BT}"
@@ -519,19 +531,22 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
     return new_state, pcm.T
 
 
-def _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples):
-    """Kernel-variant dispatch: merged 3-matmul step (default) or the
-    original 5-matmul step (LPCNET_KERNEL_MERGED=0)."""
+def _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt=None):
+    """Kernel-variant dispatch: merged 3-matmul step or the default
+    5-matmul step (LPCNET_KERNEL_MERGED=1 selects merged); batch tile
+    auto-sized unless LPCNET_KERNEL_BT pins it."""
+    b = cond_a.shape[0]
+    bt = bt or _pick_bt(b)
     fn = _synthesize_frame_pallas_merged if _MERGED else synthesize_frame_pallas
-    return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples)
+    return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt)
 
 
 def synthesize_frame_auto(kw, state: SampleState, cond_a, cond_b, lpc,
                           cfg: LPCNetConfig, n_samples: int = 160):
-    """Batch-size-agnostic wrapper: pads the stream batch up to a BT
+    """Batch-size-agnostic wrapper: pads the stream batch up to a tile
     multiple, runs the fused kernel, and slices the result back."""
     b = cond_a.shape[0]
-    pb = (b + BT - 1) // BT * BT
+    pb = (b + 255) // 256 * 256
     if pb == b:
         return _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples)
 
