@@ -95,11 +95,48 @@ def bench_encode(batch: int, n_super: int, warmup: int = 3):
     return batch * n_super * 640 / dt          # input samples/s
 
 
+def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
+    """Mixed-loss batched PLC throughput (every stream its own pattern)."""
+    import jax
+
+    from lpcnet_tpu.models import lpcnet as M
+    from lpcnet_tpu.models import plc as PM
+    from lpcnet_tpu.plc.batched import BatchedPLC
+
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+    plc = BatchedPLC(fused, cfg, plc_params, batch=batch)
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(batch, 160) * 2000).astype(np.float32)
+    losses = (rng.rand(batch, warmup + n_frames) < loss_rate)
+    for k in range(warmup):
+        out = plc.step(pcm, losses[:, k])
+    t0 = time.perf_counter()
+    for k in range(n_frames):
+        out = plc.step(pcm, losses[:, warmup + k])
+    np.asarray(out[0, :4])
+    dt = time.perf_counter() - t0
+    return batch * n_frames * 160 / dt
+
+
 def main():
     batch = int(os.environ.get("LPCNET_BENCH_BATCH", "256"))
     n_frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
     kernel = os.environ.get("LPCNET_BENCH_KERNEL", "pallas")
     mode = os.environ.get("LPCNET_BENCH_MODE", "synthesis")
+    if mode == "plc":
+        sps = bench_plc(batch, max(n_frames // 2, 10))
+        baseline = 256 * 16000.0
+        print(json.dumps({
+            "metric": f"plc_mixed_loss_samples_per_sec_chip_b{batch}",
+            "value": round(sps, 1), "unit": "samples/s",
+            "vs_baseline": round(sps / baseline, 4),
+            "per_stream_rtf": round(sps / batch / 16000.0, 4),
+            "streams": batch,
+        }))
+        return
     if mode == "encode":
         sps = bench_encode(batch, max(n_frames // 4, 5))
         baseline = 256 * 16000.0
