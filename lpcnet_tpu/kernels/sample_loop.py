@@ -531,14 +531,30 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
     return new_state, pcm.T
 
 
+_BT_BLOCKLIST: set = set()
+
+
 def _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt=None):
     """Kernel-variant dispatch: merged 3-matmul step or the default
     5-matmul step (LPCNET_KERNEL_MERGED=1 selects merged); batch tile
-    auto-sized unless LPCNET_KERNEL_BT pins it."""
+    auto-sized unless LPCNET_KERNEL_BT pins it.
+
+    The 512 tile sits close to the compiler's scoped-VMEM ceiling and can
+    fail to compile in some toolchain configurations; auto-selection falls
+    back to the always-safe 256 tile on compile failure (pinned tiles via
+    LPCNET_KERNEL_BT are not second-guessed)."""
     b = cond_a.shape[0]
-    bt = bt or _pick_bt(b)
+    picked = bt or _pick_bt(b)
     fn = _synthesize_frame_pallas_merged if _MERGED else synthesize_frame_pallas
-    return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt)
+    if picked in _BT_BLOCKLIST and not (bt or _BT_ENV):
+        picked = 256
+    try:
+        return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples, picked)
+    except Exception:
+        if picked == 256 or bt or _BT_ENV:
+            raise
+        _BT_BLOCKLIST.add(picked)
+        return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples, 256)
 
 
 def synthesize_frame_auto(kw, state: SampleState, cond_a, cond_b, lpc,
