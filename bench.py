@@ -109,15 +109,17 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
     plc_params = PM.init_params(jax.random.PRNGKey(1))
     plc = BatchedPLC(fused, cfg, plc_params, batch=batch)
     rng = np.random.RandomState(0)
-    pcm = (rng.randn(batch, 160) * 2000).astype(np.float32)
+    chunk = 25
+    warmup = chunk                      # warm up with one full chunk so the
+    n_frames = max(chunk, n_frames // chunk * chunk)  # timed shapes are cached
+    frames = (rng.randn(batch, warmup + n_frames, 160) * 2000
+              ).astype(np.float32)
     losses = (rng.rand(batch, warmup + n_frames) < loss_rate)
-    for k in range(warmup):
-        out = plc.step(pcm, losses[:, k])
+    plc.run(frames[:, :warmup], losses[:, :warmup], chunk=chunk)
     t0 = time.perf_counter()
-    for k in range(n_frames):
-        out = plc.step(pcm, losses[:, warmup + k])
-    np.asarray(out[0, :4])
+    out = plc.run(frames[:, warmup:], losses[:, warmup:], chunk=chunk)
     dt = time.perf_counter() - t0
+    assert out.shape == (batch, n_frames, 160)
     return batch * n_frames * 160 / dt
 
 

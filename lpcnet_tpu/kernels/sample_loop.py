@@ -373,6 +373,254 @@ def _sample_kernel_merged(n_samples, na, nb,
     jax.lax.fori_loop(0, n_samples // 8, octave, 0)
 
 
+def _sample_kernel_masked(n_samples, na, nb, sampled,
+                          # inputs
+                          emb_ref, arec_ref, abias_ref, bin_ref, brec_ref,
+                          bbias_ref, dualw_ref, dualb_ref, dualf_ref,
+                          table_ref, conda_ref, condb_ref, lpc_ref,
+                          preload_ref, mode_ref,
+                          ha_in, hb_in, sig_in, exc_in, de_in, rng_in,
+                          # outputs
+                          ha_out, hb_out, sig_out, exc_out, de_out, rng_out,
+                          pcm_out):
+    """Masked/teacher-forced variant of _sample_kernel, the fused-kernel twin
+    of models.lpcnet.synthesize_frame_masked (the batched-PLC workhorse).
+
+    preload_ref/mode_ref are [n_samples, BT] (sample-major, like pcm_out, so
+    each 8-step octave reads one sublane block). mode bit0 = advance (process
+    this sample; else the stream's state, including its RNG, is frozen and
+    the emitted sample is 0), bit1 = teacher-force (excitation derived from
+    the preload target instead of sampled, src/lpcnet.c:256-259; the RNG
+    still advances, matching the scan path).
+
+    `sampled` (static) selects whether the dual-FC bit-tree sampler runs at
+    all. With sampled=False every advanced step MUST be teacher-forced
+    (callers assert); dropping the sampler + dual-FC matmul makes the
+    teacher-forced step ~1.5x faster (BENCHMARKS.md sampler decomposition).
+    """
+    ha_out[:] = ha_in[:]
+    hb_out[:] = hb_in[:]
+    sig_out[:] = sig_in[:]
+    exc_out[:] = exc_in[:]
+    de_out[:] = de_in[:]
+    rng_out[:] = rng_in[:]
+
+    def step(target, m, _):
+        adv = (m & 1) > 0                         # [BT, 1] bool
+        tf = (m & 2) > 0
+        last_sig = sig_out[:]
+        lpc = lpc_ref[:]
+        pred = -jnp.sum(last_sig * lpc, axis=1, keepdims=True)
+        sig_u = _lin2ulaw(last_sig[:, 0:1])
+        pred_u = _lin2ulaw(pred)
+        exc_u = exc_out[:]
+
+        wdt = emb_ref.dtype
+        l768 = jax.lax.broadcasted_iota(jnp.int32, (sig_u.shape[0], 768), 1)
+        oh = ((l768 == sig_u).astype(wdt)
+              + (l768 == pred_u + 256).astype(wdt)
+              + (l768 == exc_u + 512).astype(wdt))
+        gate_a = conda_ref[:] + jnp.dot(oh, emb_ref[:],
+                                        preferred_element_type=jnp.float32)
+        h_a0 = ha_out[:]
+        zrec = jnp.dot(h_a0.astype(wdt), arec_ref[:],
+                       preferred_element_type=jnp.float32) + abias_ref[:]
+        z = jax.nn.sigmoid(gate_a[:, :na] + zrec[:, :na])
+        r = jax.nn.sigmoid(gate_a[:, na:2 * na] + zrec[:, na:2 * na])
+        hc = jnp.tanh(gate_a[:, 2 * na:] + r * zrec[:, 2 * na:])
+        h_a = z * h_a0 + (1.0 - z) * hc
+        ha_out[:] = jnp.where(adv, h_a, h_a0)
+
+        gate_b = condb_ref[:] + jnp.dot(h_a.astype(wdt), bin_ref[:],
+                                        preferred_element_type=jnp.float32)
+        h_b0 = hb_out[:]
+        zrec_b = jnp.dot(h_b0.astype(wdt), brec_ref[:],
+                         preferred_element_type=jnp.float32) + bbias_ref[:]
+        zb = jax.nn.sigmoid(gate_b[:, :nb] + zrec_b[:, :nb])
+        rb = jax.nn.sigmoid(gate_b[:, nb:2 * nb] + zrec_b[:, nb:2 * nb])
+        hcb = jnp.tanh(gate_b[:, 2 * nb:] + rb * zrec_b[:, 2 * nb:])
+        h_b = zb * h_b0 + (1.0 - zb) * hcb
+        hb_out[:] = jnp.where(adv, h_b, h_b0)
+
+        # RNG advances on every advanced step (scan-path semantics: the
+        # sampler is evaluated even when its result is overridden)
+        z0 = rng_out[:, 0:1]
+        w0 = rng_out[:, 1:2]
+        j0 = rng_out[:, 2:3]
+        c0 = rng_out[:, 3:4]
+        r1, z1, w1, j1, c1 = _kiss99(z0, w0, j0, c0)
+        r2, z1, w1, j1, c1 = _kiss99(z1, w1, j1, c1)
+        adv_u = adv.astype(jnp.uint32)
+        keep = jnp.uint32(1) - adv_u
+        rng_out[:, 0:1] = adv_u * z1 + keep * z0
+        rng_out[:, 1:2] = adv_u * w1 + keep * w0
+        rng_out[:, 2:3] = adv_u * j1 + keep * j0
+        rng_out[:, 3:4] = adv_u * c1 + keep * c0
+
+        if sampled:
+            bytes_ = [(r1 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)] + \
+                     [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
+            pre = jnp.dot(h_b, dualw_ref[:],
+                          preferred_element_type=jnp.float32) + dualb_ref[:]
+            tpre = dualf_ref[:] * jnp.tanh(pre)
+            all_logits = tpre[:, :256] + tpre[:, 256:]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, all_logits.shape, 1)
+            table_row = table_ref[:]
+            val = jnp.zeros_like(exc_u)
+            for b in range(8):
+                rows = (1 << b) | val
+                logit = jnp.sum(jnp.where(lanes == rows, all_logits, 0.0),
+                                axis=1, keepdims=True)
+                byte_idx = bytes_[b].astype(jnp.int32)
+                thr = jnp.sum(jnp.where(lanes == byte_idx, table_row, 0.0),
+                              axis=1, keepdims=True)
+                bit = (thr < logit).astype(jnp.int32)
+                val = (val << 1) | bit
+        else:
+            val = jnp.zeros_like(exc_u)
+
+        de0 = de_out[:]
+        pcm_tf = target - PREEMPHASIS * de0
+        exc_tf = _lin2ulaw(pcm_tf - pred)
+        val = jnp.where(tf, exc_tf, val)
+        pcm = jnp.where(tf, pcm_tf, pred + _ulaw2lin(val))
+        exc_out[:] = jnp.where(adv, val, exc_u)
+        sig_out[:] = jnp.where(
+            adv, jnp.concatenate([pcm, last_sig[:, :LPC_ORDER - 1]], axis=1),
+            last_sig)
+        out = pcm + PREEMPHASIS * de0
+        de_out[:] = jnp.where(adv, out, de0)
+        emit = jnp.where(adv, jnp.floor(0.5 + jnp.clip(out, -32767.0, 32767.0)),
+                         0.0)
+        return emit                                # [BT, 1]
+
+    def octave(o, _):
+        pblk = preload_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :]   # [8, BT]
+        mblk = mode_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :]
+        pblk_t = pblk.T                                             # [BT, 8]
+        mblk_t = mblk.T
+        cols = [step(pblk_t[:, j:j + 1], mblk_t[:, j:j + 1], None)
+                for j in range(8)]
+        block = jnp.concatenate(cols, axis=1)
+        pcm_out[pl.ds(pl.multiple_of(o * 8, 8), 8), :] = block.T
+        return 0
+
+    jax.lax.fori_loop(0, n_samples // 8, octave, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_samples", "bt", "sampled"))
+def synthesize_frame_masked_pallas(kw, state: SampleState, cond_a, cond_b,
+                                   lpc, preload, preload_mask, advance_mask,
+                                   cfg: LPCNetConfig, n_samples: int = 160,
+                                   bt: int = 0, sampled: bool = True
+                                   ) -> Tuple[SampleState, jnp.ndarray]:
+    """Fused-kernel synthesize_frame_masked: per-stream, per-sample
+    teacher-force + advance masks (see models.lpcnet.synthesize_frame_masked
+    for the mask semantics). sampled=False elides the dual-FC sampler for
+    calls whose advanced steps are all teacher-forced.
+    """
+    na, nb = cfg.rnn_units1, cfg.rnn_units2
+    b = cond_a.shape[0]
+    bt = bt or _pick_bt(b)
+    assert b % bt == 0, f"batch {b} must be a multiple of {bt}"
+    assert n_samples % 8 == 0, "n_samples must be a multiple of 8"
+    grid = (b // bt,)
+    BT = bt
+
+    rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr, state.rng.jcong],
+                    axis=1)
+    exc = state.last_exc[:, None].astype(jnp.int32)
+    de = state.deemph[:, None]
+    mode = (jnp.asarray(advance_mask, bool).astype(jnp.int32)
+            | (jnp.asarray(preload_mask, bool).astype(jnp.int32) << 1))
+    preload_t = jnp.asarray(preload, jnp.float32).T      # [n, B]
+    mode_t = mode.T
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def b_spec(cols):
+        return pl.BlockSpec((BT, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    t_spec = pl.BlockSpec((n_samples, BT), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_sample_kernel_masked, n_samples, na, nb,
+                               sampled)
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, na), jnp.float32),
+        jax.ShapeDtypeStruct((b, nb), jnp.float32),
+        jax.ShapeDtypeStruct((b, LPC_ORDER), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 4), jnp.uint32),
+        jax.ShapeDtypeStruct((n_samples, b), jnp.float32),
+    )
+    out_specs = (
+        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
+        b_spec(4), t_spec,
+    )
+    in_specs = [
+        w_spec(kw["emb_cat"].shape), w_spec(kw["a_rec"].shape),
+        w_spec(kw["a_bias1"].shape), w_spec(kw["b_in"].shape),
+        w_spec(kw["b_rec"].shape), w_spec(kw["b_bias1"].shape),
+        w_spec(kw["dual_w"].shape), w_spec(kw["dual_bias"].shape),
+        w_spec(kw["dual_factor"].shape), w_spec(kw["logit_table"].shape),
+        b_spec(3 * na), b_spec(3 * nb), b_spec(LPC_ORDER),
+        t_spec, t_spec,
+        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
+        b_spec(4),
+    ]
+
+    ha, hb, sig, exc2, de2, rng2, pcm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(kw["emb_cat"], kw["a_rec"], kw["a_bias1"], kw["b_in"], kw["b_rec"],
+      kw["b_bias1"], kw["dual_w"], kw["dual_bias"], kw["dual_factor"],
+      kw["logit_table"],
+      cond_a, cond_b, lpc, preload_t, mode_t,
+      state.gru_a, state.gru_b, state.last_sig, exc, de, rng)
+
+    new_state = SampleState(
+        gru_a=ha, gru_b=hb, last_sig=sig,
+        last_exc=exc2[:, 0], deemph=de2[:, 0],
+        rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
+    )
+    return new_state, pcm.T
+
+
+def synthesize_frame_masked_auto(kw, state, cond_a, cond_b, lpc, preload,
+                                 preload_mask, advance_mask, cfg,
+                                 sampled: bool = True):
+    """Batch-padding wrapper for synthesize_frame_masked_pallas (streams
+    padded up to a 256 multiple advance=False, so padding is inert)."""
+    b = cond_a.shape[0]
+    n = preload.shape[-1]
+    pb = (b + 255) // 256 * 256
+    if pb == b:
+        return synthesize_frame_masked_pallas(
+            kw, state, cond_a, cond_b, lpc, preload, preload_mask,
+            advance_mask, cfg, n, sampled=sampled)
+
+    def pad(x):
+        widths = [(0, pb - b)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    st_p = jax.tree.map(pad, state)
+    new_p, pcm = synthesize_frame_masked_pallas(
+        kw, st_p, pad(cond_a), pad(cond_b), pad(lpc), pad(preload),
+        pad(preload_mask), pad(advance_mask), cfg, n, sampled=sampled)
+    unpad = lambda x: x[:b]
+    return jax.tree.map(unpad, new_p), pcm[:b]
+
+
 # default pending the on-chip A/B (flip after measuring on real hardware)
 _MERGED = __import__("os").environ.get("LPCNET_KERNEL_MERGED", "0") != "0"
 

@@ -25,6 +25,7 @@ streams share a pattern (test_plc_batched).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -85,7 +86,14 @@ class BatchedPLC:
 
     def __init__(self, fused, cfg: M.LPCNetConfig, plc_params, batch: int,
                  enable_blending: bool = True, non_causal: bool = False,
-                 plc_cfg: Optional[PM.PLCConfig] = None):
+                 plc_cfg: Optional[PM.PLCConfig] = None,
+                 use_kernel: Optional[bool] = None):
+        """use_kernel routes the sample-rate tails through the fused Pallas
+        kernel (kernels.sample_loop) instead of the bit-exact lax.scan path:
+        ~10x frame-step throughput at serving batch sizes, at the cost of
+        bf16-matmul sampling divergence on a small fraction of samples
+        (same tolerance class as the main synthesis kernel). Default: kernel
+        for batches >= 256 on TPU, scan otherwise."""
         if non_causal and cfg.lookahead != 0:
             raise ValueError("non-causal PLC needs a lookahead-0 model")
         self.fused = fused
@@ -97,12 +105,22 @@ class BatchedPLC:
         self.plc_cfg = plc_cfg or PM.PLCConfig()
         self.delay = cfg.lookahead
         self.plc_buf_size = self.delay * FRAME_SIZE + _TO
+        if use_kernel is None:
+            use_kernel = (batch >= 256
+                          and jax.default_backend() not in ("cpu",))
+        self.use_kernel = use_kernel
+        if use_kernel:
+            from ..kernels.sample_loop import kernel_weights
+            self.kw = kernel_weights(fused, cfg)
+        else:
+            self.kw = None
         self.state = self.init_state()
         delay, buf_size = self.delay, self.plc_buf_size
         step_fn = _plc_frame_step_nc if non_causal else _plc_frame_step
         self._step = jax.jit(
-            lambda st, fw, pp, pcm, lost: step_fn(
-                st, fw, pp, pcm, lost, cfg, enable_blending, delay, buf_size))
+            lambda st, fw, pp, kw, pcm, lost: step_fn(
+                st, fw, pp, pcm, lost, cfg, enable_blending, delay, buf_size,
+                kw))
 
     def init_state(self) -> BatchedPLCState:
         b, cfg = self.batch, self.cfg
@@ -133,10 +151,50 @@ class BatchedPLC:
     def reset(self):
         self.state = self.init_state()
 
+    def run(self, pcm: np.ndarray, lost: np.ndarray, chunk: int = 25
+            ) -> np.ndarray:
+        """Process many frames in one device dispatch per `chunk` frames.
+
+        The per-frame step() syncs its output to the host every 10 ms frame,
+        which through a remote-dispatch transport costs more than the
+        compute; offline/bulk concealment should scan frames on-device.
+
+        Args: pcm [B, T, 160], lost [B, T]. Returns [B, T, 160].
+        """
+        pcm = np.asarray(pcm, np.float32)
+        lost = np.asarray(lost).astype(bool)
+        b, t = lost.shape
+        outs = []
+        for k0 in range(0, t, chunk):
+            p = jnp.asarray(pcm[:, k0:k0 + chunk])
+            lo = jnp.asarray(lost[:, k0:k0 + chunk])
+            self.state, out = self._run_chunk(
+                self.state, self.fused, self.plc_params, self.kw, p, lo)
+            outs.append(out)
+        return np.concatenate([np.asarray(o) for o in outs], axis=1)
+
+    @functools.cached_property
+    def _run_chunk(self):
+        cfg, eb = self.cfg, self.enable_blending
+        delay, buf_size = self.delay, self.plc_buf_size
+        step_fn = _plc_frame_step_nc if self.non_causal else _plc_frame_step
+
+        @jax.jit
+        def run_chunk(st, fused, plc_params, kw, pcm, lost):
+            def body(s, x):
+                p, lo = x
+                return step_fn(s, fused, plc_params, p, lo, cfg, eb,
+                               delay, buf_size, kw)
+            st, out = jax.lax.scan(
+                body, st, (jnp.moveaxis(pcm, 1, 0), jnp.moveaxis(lost, 1, 0)))
+            return st, jnp.moveaxis(out, 0, 1)
+
+        return run_chunk
+
     def step(self, pcm: np.ndarray, lost: np.ndarray) -> np.ndarray:
         """pcm [B, 160] (ignored where lost), lost [B] 0/1. Returns [B, 160]."""
         self.state, out = self._step(
-            self.state, self.fused, self.plc_params,
+            self.state, self.fused, self.plc_params, self.kw,
             jnp.asarray(np.asarray(pcm, np.float32)),
             jnp.asarray(np.asarray(lost).astype(bool)))
         return np.asarray(out)
@@ -155,14 +213,27 @@ def _fnet_masked(fused, s: BatchedPLCState, feats36, active, cfg):
 
 
 def _tail_masked(fused, s: BatchedPLCState, preload, preload_mask,
-                 advance_mask, cfg):
+                 advance_mask, cfg, kw=None, sampled=True):
     """Sample-rate tail with conv-warmup gating (cf. LPCNetCore
-    synthesize_tail): streams still in warmup neither advance nor emit."""
+    synthesize_tail): streams still in warmup neither advance nor emit.
+
+    kw selects the fused Pallas kernel (kernels.sample_loop.kernel_weights
+    bundle) instead of the bit-exact scan path; sampled=False (kernel only)
+    elides the dual-FC sampler for segments whose advanced steps are all
+    teacher-forced (drain/resync/queued updates) -- ~1.5x faster, identical
+    results (the sampled value is overridden and the RNG advance is the
+    same)."""
     live = s.fstate.frame_count > cfg.lookahead
     adv = advance_mask & live[:, None]
-    new_ss, pcm = M.synthesize_frame_masked(
-        fused, s.sstate, s.cond_a, s.cond_b, s.lpc,
-        preload, preload_mask & adv, adv)
+    if kw is None:
+        new_ss, pcm = M.synthesize_frame_masked(
+            fused, s.sstate, s.cond_a, s.cond_b, s.lpc,
+            preload, preload_mask & adv, adv)
+    else:
+        from ..kernels.sample_loop import synthesize_frame_masked_auto
+        new_ss, pcm = synthesize_frame_masked_auto(
+            kw, s.sstate, s.cond_a, s.cond_b, s.lpc,
+            preload, preload_mask & adv, adv, cfg, sampled=sampled)
     return s._replace(sstate=new_ss), pcm
 
 
@@ -213,7 +284,7 @@ def _shift_buf(buf):
 
 
 def _conceal_path(fused, plc_params, s: BatchedPLCState, cfg, delay,
-                  plc_buf_size):
+                  plc_buf_size, kw=None):
     """src/lpcnet_plc.c:293-337 with the drain loop unrolled+masked."""
     b = s.features.shape[0]
     ones = jnp.ones((b,), bool)
@@ -231,7 +302,7 @@ def _conceal_path(fused, plc_params, s: BatchedPLCState, cfg, delay,
         s = _plc_pred_masked(plc_params, s, zeros_in, active)
         s = _fnet_masked(fused, s, _pad36(s.features), active, cfg)
         adv = active[:, None] & (jnp.arange(FRAME_SIZE)[None] < count[:, None])
-        s, _ = _tail_masked(fused, s, output, adv, adv, cfg)
+        s, _ = _tail_masked(fused, s, output, adv, adv, cfg, kw, sampled=False)
         s = s._replace(
             pcm_buf=jnp.where(active[:, None], _shift_buf(s.pcm_buf), s.pcm_buf),
             pcm_fill=jnp.where(active, s.pcm_fill - count, s.pcm_fill),
@@ -241,7 +312,7 @@ def _conceal_path(fused, plc_params, s: BatchedPLCState, cfg, delay,
     s = _push_plc_ring(s, ones)
     allm = jnp.ones((b, _N1), bool)
     s, head = _tail_masked(fused, s, jnp.zeros((b, _N1)),
-                           jnp.zeros((b, _N1), bool), allm, cfg)
+                           jnp.zeros((b, _N1), bool), allm, cfg, kw)
     s = _plc_pred_masked(plc_params, s, zeros_in, ones)
     lc = s.loss_count + 1            # incremented before attenuation
     att = jnp.where(lc >= 10, ATT_TABLE[9] - 2.0 * (lc - 9),
@@ -253,7 +324,7 @@ def _conceal_path(fused, plc_params, s: BatchedPLCState, cfg, delay,
     s = _fnet_masked(fused, s, _pad36(s.features), ones, cfg)
     allm = jnp.ones((b, _TO), bool)
     s, tail = _tail_masked(fused, s, jnp.zeros((b, _TO)),
-                           jnp.zeros((b, _TO), bool), allm, cfg)
+                           jnp.zeros((b, _TO), bool), allm, cfg, kw)
     pcm = jnp.concatenate([head, tail], axis=1)
     s, _ = _enc_step(s, pcm)
     s = s._replace(blend=jnp.ones_like(s.blend))
@@ -261,7 +332,7 @@ def _conceal_path(fused, plc_params, s: BatchedPLCState, cfg, delay,
 
 
 def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
-                 enable_blending, delay, plc_buf_size):
+                 enable_blending, delay, plc_buf_size, kw=None):
     """src/lpcnet_plc.c:188-290 (causal update, no DC/FEC)."""
     b = pcm.shape[0]
     burg_feats = burg_cepstral_analysis(pcm)
@@ -281,7 +352,7 @@ def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
         s = _fnet_masked(fused, s, _pad36(s.features), bl, cfg)
         adv = bl[:, None] & jnp.ones((b, _N1), bool)
         s, tmp = _tail_masked(fused, s, jnp.zeros((b, _N1)),
-                              jnp.zeros((b, _N1), bool), adv, cfg)
+                              jnp.zeros((b, _N1), bool), adv, cfg, kw)
         w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_N1) / _N1)
         blended = jnp.floor(0.5 + w * pcm[:, :_N1] + (1 - w) * tmp)
         pcm = pcm.at[:, :_N1].set(jnp.where(bl[:, None], blended, pcm[:, :_N1]))
@@ -291,7 +362,8 @@ def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
         s = s._replace(fstate=restored[0], sstate=restored[1],
                        cond_a=restored[2], cond_b=restored[3], lpc=restored[4])
         s = _fnet_masked(fused, s, _pad36(s.features), bl, cfg)
-        s, _ = _tail_masked(fused, s, pcm[:, :_N1], adv, adv, cfg)
+        s, _ = _tail_masked(fused, s, pcm[:, :_N1], adv, adv, cfg, kw,
+                            sampled=False)
     else:
         # codec mode: rewind the PLC net one frame and clear the AR state
         if delay > 0:
@@ -341,22 +413,23 @@ def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
 # Non-causal mode (src/lpcnet_plc.c:342-492, sans DC filter)
 # ---------------------------------------------------------------------------
 
-def _process_queued_update(fused, s: BatchedPLCState, cfg):
+def _process_queued_update(fused, s: BatchedPLCState, cfg, kw=None):
     """Deferred resync queued by the previous recovery frame
     (src/lpcnet_plc.c:277-281): teacher-force the queued samples, masked by
     the per-stream queued flag."""
     q = s.queued
     s = _fnet_masked(fused, s, _pad36(s.features), q, cfg)
     adv = q[:, None] & jnp.ones_like(s.queued_samples, bool)
-    s, _ = _tail_masked(fused, s, s.queued_samples, adv, adv, cfg)
+    s, _ = _tail_masked(fused, s, s.queued_samples, adv, adv, cfg, kw,
+                        sampled=False)
     return s._replace(queued=jnp.zeros_like(q))
 
 
-def _conceal_path_nc(fused, plc_params, s: BatchedPLCState, cfg):
+def _conceal_path_nc(fused, plc_params, s: BatchedPLCState, cfg, kw=None):
     """lpcnet_plc_conceal_non_causal (src/lpcnet_plc.c:452-492)."""
     b = s.features.shape[0]
     ones = jnp.ones((b,), bool)
-    s = _process_queued_update(fused, s, cfg)
+    s = _process_queued_update(fused, s, cfg, kw)
     zeros_in = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
     s = _plc_pred_masked(plc_params, s, zeros_in, ones)
     # non-causal attenuates with the PRE-increment loss count (:466 vs :494)
@@ -370,11 +443,12 @@ def _conceal_path_nc(fused, plc_params, s: BatchedPLCState, cfg):
     s = _fnet_masked(fused, s, _pad36(s.features), ones, cfg)
     adv = jnp.ones((b, _TO), bool)
     # first loss: teacher-force the buffered lookahead; later: free-run
-    s, t1 = _tail_masked(fused, s, buf_head, first[:, None] & adv, adv, cfg)
+    s, t1 = _tail_masked(fused, s, buf_head, first[:, None] & adv, adv, cfg,
+                         kw)
     head = jnp.where(first[:, None], buf_head, t1)
     adv80 = jnp.ones((b, _N1), bool)
     s, tail = _tail_masked(fused, s, jnp.zeros((b, _N1)),
-                           jnp.zeros((b, _N1), bool), adv80, cfg)
+                           jnp.zeros((b, _N1), bool), adv80, cfg, kw)
     pcm = jnp.concatenate([head, tail], axis=1)
     # continued loss: refresh the buffer head and re-run feature analysis
     s = s._replace(pcm_buf=jnp.where(
@@ -388,10 +462,10 @@ def _conceal_path_nc(fused, plc_params, s: BatchedPLCState, cfg):
     return s, jnp.clip(pcm, -32768, 32767)
 
 
-def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg):
+def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg, kw=None):
     """lpcnet_plc_update_non_causal (src/lpcnet_plc.c:349-450), sans DC."""
     b = pcm.shape[0]
-    s = _process_queued_update(fused, s, cfg)
+    s = _process_queued_update(fused, s, cfg, kw)
     pcm_save = pcm
     burg_feats = burg_cepstral_analysis(pcm)
     rec = s.loss_count > 0          # first good frame after a loss
@@ -404,7 +478,7 @@ def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg):
     s = _fnet_masked(fused, s, _pad36(s.features), rec, cfg)
     advTO = rec[:, None] & jnp.ones((b, _TO), bool)
     s, fwd = _tail_masked(fused, s, jnp.zeros((b, _TO)),
-                          jnp.zeros((b, _TO), bool), advTO, cfg)
+                          jnp.zeros((b, _TO), bool), advTO, cfg, kw)
     s = s._replace(pcm_buf=jnp.where(
         rec[:, None],
         s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(fwd), s.pcm_buf))
@@ -414,9 +488,9 @@ def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg):
     rev = pcm[:, ::-1]
     adv160 = rec[:, None] & jnp.ones((b, FRAME_SIZE), bool)
     s = _fnet_masked(fused, s, _pad36(s.features), rec, cfg)
-    s, _ = _tail_masked(fused, s, rev, adv160, adv160, cfg)
+    s, _ = _tail_masked(fused, s, rev, adv160, adv160, cfg, kw, sampled=False)
     s, rev_tail = _tail_masked(fused, s, jnp.zeros((b, _TO)),
-                               jnp.zeros((b, _TO), bool), advTO, cfg)
+                               jnp.zeros((b, _TO), bool), advTO, cfg, kw)
     w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_TO) / _TO)
     # buf[F-1-i] = w[i]*buf[F-1-i] + (1-w[i])*rev_tail[i]
     head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
@@ -444,9 +518,11 @@ def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg):
     s = _fnet_masked(fused, s, enc_feats, good, cfg)
     buf_head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
     advTO_g = good[:, None] & jnp.ones((b, _TO), bool)
-    s, _ = _tail_masked(fused, s, buf_head, advTO_g, advTO_g, cfg)
+    s, _ = _tail_masked(fused, s, buf_head, advTO_g, advTO_g, cfg, kw,
+                        sampled=False)
     adv80_g = good[:, None] & jnp.ones((b, _N1), bool)
-    s, _ = _tail_masked(fused, s, pcm[:, :_N1], adv80_g, adv80_g, cfg)
+    s, _ = _tail_masked(fused, s, pcm[:, :_N1], adv80_g, adv80_g, cfg, kw,
+                        sampled=False)
     out = jnp.concatenate([s.pcm_buf[:, _TO:FRAME_SIZE], pcm[:, :_TO]], axis=1)
     s = s._replace(
         pcm_buf=s.pcm_buf.at[:, :FRAME_SIZE].set(pcm_save),
@@ -455,9 +531,9 @@ def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg):
 
 
 def _plc_frame_step_nc(state: BatchedPLCState, fused, plc_params, pcm, lost,
-                       cfg, enable_blending, delay, plc_buf_size):
-    s_c, out_c = _conceal_path_nc(fused, plc_params, state, cfg)
-    s_u, out_u = _update_path_nc(fused, plc_params, state, pcm, cfg)
+                       cfg, enable_blending, delay, plc_buf_size, kw=None):
+    s_c, out_c = _conceal_path_nc(fused, plc_params, state, cfg, kw)
+    s_u, out_u = _update_path_nc(fused, plc_params, state, pcm, cfg, kw)
     ring = jax.tree.map(
         lambda c, u: jnp.where(lost[None, :, None], c, u),
         s_c.plc_ring, s_u.plc_ring)
@@ -469,11 +545,11 @@ def _plc_frame_step_nc(state: BatchedPLCState, fused, plc_params, pcm, lost,
 
 
 def _plc_frame_step(state: BatchedPLCState, fused, plc_params, pcm, lost,
-                    cfg, enable_blending, delay, plc_buf_size):
+                    cfg, enable_blending, delay, plc_buf_size, kw=None):
     s_c, out_c = _conceal_path(fused, plc_params, state, cfg, delay,
-                               plc_buf_size)
+                               plc_buf_size, kw)
     s_u, out_u = _update_path(fused, plc_params, state, pcm, cfg,
-                              enable_blending, delay, plc_buf_size)
+                              enable_blending, delay, plc_buf_size, kw)
     # ring leaves are [R, B, H] (select on axis 1); everything else [B, ...]
     ring = jax.tree.map(
         lambda c, u: jnp.where(lost[None, :, None], c, u),
