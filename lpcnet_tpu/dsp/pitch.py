@@ -120,22 +120,22 @@ def viterbi_step(carry: ViterbiCarry, xc, weight):
     """
     i = jnp.arange(N_STATES)
     restart_val = carry.path_max - 6.0
+    # shifted path reads path[i+j] for static j: STATIC slices of a padded
+    # vector, not gathers (dynamic-index gathers vectorize terribly on TPU
+    # and dominated the whole encoder/PLC profile before this rewrite)
+    padded = jnp.pad(carry.path, (4, 4), constant_values=-jnp.inf)
     cand_vals = [jnp.full((N_STATES,), restart_val)]
-    cand_idx = [jnp.full((N_STATES,), carry.best_i, jnp.int32)]
     for j in _JUMPS:
-        src = i + j
-        valid = (src >= 0) & (src < N_STATES)
-        v = jnp.where(valid, carry.path[jnp.clip(src, 0, N_STATES - 1)] - 0.02 * j * j, -jnp.inf)
-        cand_vals.append(v)
-        cand_idx.append(src.astype(jnp.int32))
+        cand_vals.append(padded[4 + j: 4 + j + N_STATES] - 0.02 * j * j)
     vals = jnp.stack(cand_vals)          # [10, N_STATES]
-    idxs = jnp.stack(cand_idx)
     choice = jnp.argmax(vals, axis=0)    # first max wins == C's strict-> scan
-    max_prev = jnp.take_along_axis(vals, choice[None], axis=0)[0]
-    prev_idx = jnp.take_along_axis(idxs, choice[None], axis=0)[0]
+    max_prev = jnp.max(vals, axis=0)
+    # candidate k=0 is the restart (prev = best_i); k>0 is jump j = k-5
+    prev_idx = jnp.where(choice == 0, carry.best_i, i + choice - 5)
+    prev_idx = prev_idx.astype(jnp.int32)
     path1 = max_prev + weight * xc[:N_STATES]
     best = jnp.argmax(path1).astype(jnp.int32)
-    max_all = path1[best]
+    max_all = jnp.max(path1)
     new_carry = ViterbiCarry(path=path1 - max_all, path_max=max_all, best_i=best)
     return new_carry, prev_idx
 
@@ -159,10 +159,15 @@ def viterbi_track(carry: ViterbiCarry, xcs, weights):
     new_carry, (prevs, _) = jax.lax.scan(step, carry, (xcs, weights))
     n_sub = xcs.shape[0]
 
+    # backward pass with one-hot reductions instead of per-step dynamic
+    # scalar gathers (gather-free for the same TPU reason as viterbi_step)
+    lane = jnp.arange(N_STATES)
+
     def back(best_i, sub):
+        oh = (lane == best_i)
         period = PITCH_MAX_PERIOD - best_i
-        corr = weights[sub] * xcs[sub, best_i]
-        prev_i = prevs[sub, best_i]
+        corr = weights[sub] * jnp.sum(jnp.where(oh, xcs[sub, :N_STATES], 0.0))
+        prev_i = jnp.sum(jnp.where(oh, prevs[sub], 0)).astype(jnp.int32)
         return prev_i, (period, corr)
 
     best_i = new_carry.best_i
