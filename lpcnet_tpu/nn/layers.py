@@ -52,7 +52,14 @@ def dense(params: Params, x, activation: str = "linear", precision=HIGHEST):
 
 
 def embedding(params: Params, idx):
-    return jnp.take(params["table"], idx, axis=0)
+    """Table lookup as a one-hot contraction: data-dependent row gathers
+    don't vectorize on TPU (each lookup serializes), while a [..., n] @
+    [n, d] one-hot matmul is exact (single unit product per row) and rides
+    the MXU. Tables here are small (<=256 x 128), so the extra FLOPs are
+    noise next to the gather latency they replace."""
+    table = params["table"]
+    oh = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+    return jnp.matmul(oh, table, precision=HIGHEST)
 
 
 def conv1d_seq(params: Params, x, activation: str = "tanh", padding: str = "valid",

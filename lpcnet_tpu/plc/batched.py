@@ -151,26 +151,34 @@ class BatchedPLC:
     def reset(self):
         self.state = self.init_state()
 
-    def run(self, pcm: np.ndarray, lost: np.ndarray, chunk: int = 25
-            ) -> np.ndarray:
+    def run(self, pcm: np.ndarray, lost: np.ndarray, chunk: int = 25,
+            device_out: bool = False):
         """Process many frames in one device dispatch per `chunk` frames.
 
         The per-frame step() syncs its output to the host every 10 ms frame,
         which through a remote-dispatch transport costs more than the
         compute; offline/bulk concealment should scan frames on-device.
 
-        Args: pcm [B, T, 160], lost [B, T]. Returns [B, T, 160].
+        Args: pcm [B, T, 160], lost [B, T].
+        Returns [B, T, 160] (numpy), or with device_out=True a list of
+        per-chunk device arrays left on the device (for pipelines whose
+        next stage is also on-device, and for throughput measurement
+        without paying host-transfer time).
         """
-        pcm = np.asarray(pcm, np.float32)
-        lost = np.asarray(lost).astype(bool)
+        # jnp.asarray is a no-op for arrays already on the device, so callers
+        # can device_put inputs once and chunk-slicing stays device-side
+        pcm = jnp.asarray(pcm, jnp.float32)
+        lost = jnp.asarray(lost).astype(bool)
         b, t = lost.shape
         outs = []
         for k0 in range(0, t, chunk):
-            p = jnp.asarray(pcm[:, k0:k0 + chunk])
-            lo = jnp.asarray(lost[:, k0:k0 + chunk])
+            p = pcm[:, k0:k0 + chunk]
+            lo = lost[:, k0:k0 + chunk]
             self.state, out = self._run_chunk(
                 self.state, self.fused, self.plc_params, self.kw, p, lo)
             outs.append(out)
+        if device_out:
+            return outs
         return np.concatenate([np.asarray(o) for o in outs], axis=1)
 
     @functools.cached_property
