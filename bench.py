@@ -137,7 +137,9 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
 
 
 def main():
-    batch = int(os.environ.get("LPCNET_BENCH_BATCH", "256"))
+    # default = the flagship throughput config (1024 concurrent synthesis
+    # streams, each still >1x real-time); override via env for other points
+    batch = int(os.environ.get("LPCNET_BENCH_BATCH", "1024"))
     n_frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
     kernel = os.environ.get("LPCNET_BENCH_KERNEL", "pallas")
     mode = os.environ.get("LPCNET_BENCH_MODE", "synthesis")

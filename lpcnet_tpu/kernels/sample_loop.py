@@ -522,7 +522,9 @@ def synthesize_frame_masked_pallas(kw, state: SampleState, cond_a, cond_b,
     """
     na, nb = cfg.rnn_units1, cfg.rnn_units2
     b = cond_a.shape[0]
-    bt = bt or _pick_bt(b)
+    # the masked kernel carries extra VMEM blocks (preload/mode/pcm are all
+    # [n_samples, BT]); the 256 tile is the safe/fast point here
+    bt = bt or min(_pick_bt(b), 256)
     assert b % bt == 0, f"batch {b} must be a multiple of {bt}"
     assert n_samples % 8 == 0, "n_samples must be a multiple of 8"
     grid = (b // bt,)

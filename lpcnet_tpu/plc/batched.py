@@ -116,7 +116,8 @@ class BatchedPLC:
             self.kw = None
         self.state = self.init_state()
         delay, buf_size = self.delay, self.plc_buf_size
-        step_fn = _plc_frame_step_nc if non_causal else _plc_frame_step
+        step_fn = _plc_frame_step_nc if non_causal else _plc_frame_step_fused
+        self._step_fn = step_fn
         self._step = jax.jit(
             lambda st, fw, pp, kw, pcm, lost: step_fn(
                 st, fw, pp, pcm, lost, cfg, enable_blending, delay, buf_size,
@@ -185,7 +186,7 @@ class BatchedPLC:
     def _run_chunk(self):
         cfg, eb = self.cfg, self.enable_blending
         delay, buf_size = self.delay, self.plc_buf_size
-        step_fn = _plc_frame_step_nc if self.non_causal else _plc_frame_step
+        step_fn = self._step_fn
 
         @jax.jit
         def run_chunk(st, fused, plc_params, kw, pcm, lost):
@@ -415,6 +416,190 @@ def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
         loss_count=jnp.zeros_like(s.loss_count),
         blend=jnp.zeros_like(s.blend))
     return s, jnp.clip(pcm, -32768, 32767)
+
+
+def _att_of(lc):
+    """Energy attenuation for loss_count lc (gather-free ATT_TABLE lookup)."""
+    idx = jnp.minimum(lc, 9)
+    table = jnp.asarray(ATT_TABLE)
+    tab_val = jnp.sum(
+        jnp.where(jnp.arange(10)[None] == idx[:, None], table[None], 0.0),
+        axis=1)
+    return jnp.where(lc >= 10, ATT_TABLE[9] - 2.0 * (lc - 9), tab_val)
+
+
+def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
+                          lost, cfg, enable_blending, delay, plc_buf_size,
+                          kw=None):
+    """Causal PLC step as ONE interleaved program over a single state.
+
+    _plc_frame_step evaluates the conceal and update paths on separate state
+    copies and merges at the end, so every frame pays both paths' neural
+    tails, frame nets, and feature extraction. Lost and good streams are
+    disjoint, so the same per-stream masking that drives each path's
+    internals can interleave BOTH paths over one state, and their
+    corresponding sub-ops share device work:
+
+      * conceal head (free-run, lost) + update tmp (free-run, blend)
+        -> one 80-step sampled kernel call;
+      * conceal tail (free-run, lost) + update resync (teacher-forced,
+        blend) -> one mixed 80-step call;
+      * the update path's pre-synthesis frame net folds into the last drain
+        iteration's (disjoint masks, identical input expression), and its
+        post-restore frame net folds into the conceal path's pre-tail one;
+      * feature extraction runs ONCE on the per-stream-selected output.
+
+    Bit-exact vs _plc_frame_step (same sub-ops, same per-stream order);
+    kernel calls 7 -> 5, enc steps 2 -> 1, frame nets 10 -> 9, and the
+    whole-state double-evaluate + merge disappears.
+    """
+    b = pcm.shape[0]
+    s = state
+    L = lost
+    G = ~lost
+    pcm = jnp.asarray(pcm, jnp.float32)
+    zeros_in = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+
+    # ---- update-path frame-level prep (good streams) ----------------------
+    burg_feats = burg_cepstral_analysis(pcm)
+    skip = s.skip_analysis > 0
+    bl = G & skip & s.blend
+    blend_old = s.blend                    # update's final pred masks on the
+    #                                        pre-clear blend flag
+    # ---- conceal: flush deferred frame nets (lost streams) ----------------
+    for i in range(MAX_DEFER):
+        s = _fnet_masked(fused, s, s.feat_ring[:, i],
+                         L & (i < s.feat_count), cfg)
+    s = s._replace(feat_count=jnp.where(L, 0, s.feat_count))
+
+    if enable_blending:
+        # update path: restore the pre-loss PLC net and predict the gap
+        s = s._replace(plc_net=_bwhere(
+            bl, jax.tree.map(lambda x: x[delay], s.plc_ring), s.plc_net))
+        inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+        inp = inp.at[:, :2 * NB_BANDS].set(burg_feats)
+        inp = inp.at[:, -1].set(1.0)
+        s = _plc_pred_masked(plc_params, s, inp, bl)
+        for _ in range(delay):
+            s = _push_feat_ring(s, _pad36(s.features), bl)
+    else:
+        if delay > 0:
+            s = s._replace(plc_net=_bwhere(
+                bl, jax.tree.map(lambda x: x[delay - 1], s.plc_ring),
+                s.plc_net))
+        fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
+        s = s._replace(sstate=_bwhere(bl, fresh, s.sstate))
+
+    # ---- conceal: drain queued audio (teacher-forced); the update path's
+    # pre-tmp frame net rides the LAST iteration's (disjoint masks, same
+    # input expression) -------------------------------------------------
+    saved = None
+    for k in range(MAX_DRAIN):
+        active = L & (s.pcm_fill > 0)
+        count = jnp.minimum(s.pcm_fill, FRAME_SIZE)
+        output = s.pcm_buf[:, :FRAME_SIZE]
+        s = _push_plc_ring(s, active)
+        s = _plc_pred_masked(plc_params, s, zeros_in, active)
+        if k == MAX_DRAIN - 1 and enable_blending:
+            saved = (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc)
+            fmask = active | bl
+        else:
+            fmask = active
+        s = _fnet_masked(fused, s, _pad36(s.features), fmask, cfg)
+        adv = active[:, None] & (jnp.arange(FRAME_SIZE)[None] < count[:, None])
+        s, _ = _tail_masked(fused, s, output, adv, adv, cfg, kw, sampled=False)
+        s = s._replace(
+            pcm_buf=jnp.where(active[:, None], _shift_buf(s.pcm_buf),
+                              s.pcm_buf),
+            pcm_fill=jnp.where(active, s.pcm_fill - count, s.pcm_fill),
+            skip_analysis=jnp.where(active, s.skip_analysis + 1,
+                                    s.skip_analysis))
+
+    # ---- shared sampled call 1: conceal head (lost) | update tmp (blend) --
+    # (codec mode has no tmp/resync synthesis; only lost streams advance)
+    blv = bl if enable_blending else jnp.zeros_like(bl)
+    s = _push_plc_ring(s, L)
+    adv1 = (L | blv)[:, None] & jnp.ones((b, _N1), bool)
+    s, k2 = _tail_masked(fused, s, jnp.zeros((b, _N1)),
+                         jnp.zeros((b, _N1), bool), adv1, cfg, kw)
+    head = k2                               # lost streams' first half-frame
+
+    if enable_blending:
+        # update path: cross-fade the model's continuation into real audio
+        w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_N1) / _N1)
+        blended = jnp.floor(0.5 + w * pcm[:, :_N1] + (1 - w) * k2)
+        pcm = pcm.at[:, :_N1].set(jnp.where(bl[:, None], blended,
+                                            pcm[:, :_N1]))
+        restored = _bwhere(bl, saved,
+                           (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc))
+        s = s._replace(fstate=restored[0], sstate=restored[1],
+                       cond_a=restored[2], cond_b=restored[3],
+                       lpc=restored[4])
+
+    # ---- conceal: feature prediction + attenuation for the lost frame -----
+    s = _plc_pred_masked(plc_params, s, zeros_in, L)
+    lc = s.loss_count + 1
+    att = _att_of(lc)
+    s = s._replace(
+        features=jnp.where(L[:, None], s.features.at[:, 0].set(
+            jnp.maximum(-10.0, s.features[:, 0] + att)),
+            s.features),
+        loss_count=jnp.where(L, lc, s.loss_count))
+
+    # ---- shared frame net: conceal pre-tail (lost) | update post-restore --
+    fmask2 = L | blv
+    s = _fnet_masked(fused, s, _pad36(s.features), fmask2, cfg)
+
+    # ---- shared call 2: conceal tail (free-run) | update resync (TF) ------
+    tf2 = blv[:, None] & jnp.ones((b, _TO), bool)
+    adv2 = (L[:, None] & jnp.ones((b, _TO), bool)) | tf2
+    s, tail = _tail_masked(fused, s, pcm[:, :_TO] * tf2, tf2, adv2, cfg, kw,
+                           sampled=True)
+    pcm_c = jnp.concatenate([head, tail], axis=1)
+
+    # ---- pcm queue management ---------------------------------------------
+    # blend streams restart the queue from the unblended half-frame
+    s = s._replace(
+        pcm_buf=jnp.where(bl[:, None],
+                          s.pcm_buf.at[:, :_TO].set(pcm[:, _N1:]), s.pcm_buf),
+        pcm_fill=jnp.where(bl, _TO, s.pcm_fill))
+    # non-blend skip streams queue this frame for later teacher forcing
+    nbs = G & skip & ~s.blend
+    queued = jax.vmap(
+        lambda bufr, frame, off: jax.lax.dynamic_update_slice(bufr, frame,
+                                                              (off,))
+    )(s.pcm_buf, pcm, s.pcm_fill)
+    s = s._replace(
+        pcm_buf=jnp.where(nbs[:, None], queued, s.pcm_buf),
+        pcm_fill=jnp.where(nbs, s.pcm_fill + FRAME_SIZE, s.pcm_fill))
+
+    # ---- ONE feature-extraction step on the merged output -----------------
+    enc_in = jnp.where(L[:, None], pcm_c, pcm)
+    s, enc_feats = _enc_step(s, enc_in)
+
+    # update path: feed the PLC net with real features
+    inp2 = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+    inp2 = inp2.at[:, :2 * NB_BANDS].set(burg_feats)
+    inp2 = inp2.at[:, 2 * NB_BANDS:2 * NB_BANDS + NB_FEATURES].set(
+        enc_feats[:, :NB_FEATURES])
+    inp2 = inp2.at[:, -1].set(1.0)
+    s = _plc_pred_masked(plc_params, s, inp2, G & ~blend_old)
+
+    steady = G & ~skip
+    s = _push_feat_ring(s, enc_feats,
+                        G if enable_blending else steady)
+    buf_app = jax.vmap(
+        lambda bufr, frame: jax.lax.dynamic_update_slice(
+            bufr, frame, (plc_buf_size,)))(s.pcm_buf, pcm)
+    s = s._replace(
+        pcm_buf=jnp.where(steady[:, None], _shift_buf(buf_app), s.pcm_buf),
+        skip_analysis=jnp.where(G & skip, s.skip_analysis - 1,
+                                s.skip_analysis),
+        loss_count=jnp.where(G, 0, s.loss_count),
+        blend=jnp.where(L, True, jnp.zeros_like(s.blend)))
+
+    out = jnp.where(L[:, None], pcm_c, pcm)
+    return s, jnp.clip(out, -32768, 32767)
 
 
 # ---------------------------------------------------------------------------
