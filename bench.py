@@ -38,8 +38,11 @@ def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
     # NOTE: weights ride as jit ARGUMENTS and timing syncs via a host value
     # fetch -- closure constants serialize dispatch on the axon backend and
     # block_until_ready under-synchronizes there (see NOTES.md).
-    if kernel == "pallas":
+    if kernel in ("pallas", "q8"):
         from lpcnet_tpu.kernels import sample_loop as K
+        if kernel == "q8":
+            from lpcnet_tpu.nn import quantized as Q
+            fused = Q.quantize_fused(fused)
         kw = K.kernel_weights(fused, cfg)
 
         @jax.jit
@@ -106,6 +109,9 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
     cfg = M.LPCNetConfig()
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     fused = M.fuse_inference_params(params, cfg)
+    if os.environ.get("LPCNET_BENCH_INT8"):
+        from lpcnet_tpu.nn import quantized as Q
+        fused = Q.quantize_fused(fused)
     plc_params = PM.init_params(jax.random.PRNGKey(1))
     plc = BatchedPLC(fused, cfg, plc_params, batch=batch)
     import jax.numpy as jnp
@@ -141,7 +147,9 @@ def main():
     # streams, each still >1x real-time); override via env for other points
     batch = int(os.environ.get("LPCNET_BENCH_BATCH", "1024"))
     n_frames = int(os.environ.get("LPCNET_BENCH_FRAMES", "50"))
-    kernel = os.environ.get("LPCNET_BENCH_KERNEL", "pallas")
+    # q8 = int8-MXU kernel, the reference's own default numerics (DOT_PROD);
+    # "pallas" selects the bf16 kernel, "scan" the pure-XLA path
+    kernel = os.environ.get("LPCNET_BENCH_KERNEL", "q8")
     mode = os.environ.get("LPCNET_BENCH_MODE", "synthesis")
     if mode == "plc":
         sps = bench_plc(batch, max(n_frames // 2, 10))

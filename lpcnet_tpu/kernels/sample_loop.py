@@ -53,28 +53,41 @@ def _pick_bt(padded_batch: int) -> int:
 _INTERPRET = bool(__import__("os").environ.get("LPCNET_PALLAS_INTERPRET"))
 
 
-def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
+def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16,
+                   quantized: bool = None):
     """Precompute the kernel-layout weight bundle from fused params.
 
     `dtype` selects the MXU operand type for the big matmuls (embedding
     table, GRU recurrents): bfloat16 (default, ~4x MXU throughput vs f32 on
     v5e; accumulation stays f32) or float32 for bit-closest parity runs.
+
+    `quantized` selects the int8-MXU bundle (2x MXU rate and half the VMEM
+    traffic on v5e): the GRU matrices use the reference's exact DOT_PROD
+    integer numerics (src/vec.h:206-236 -- round(128*w) weights on
+    floor(0.5+127*h) activations, int32 accumulation, GRU-A diagonal kept
+    float as in the sparse format), and the embedding table (float in the
+    reference) is int8 with per-column scales. Defaults to True when the
+    fused params are already int8 (nn.quantized.quantize_fused), i.e.
+    api.load_model(int8=True) serves through the int8 kernel.
     """
     from ..nn import quantized as Q
-    if Q.is_quantized(fused):
-        # the Pallas kernel's MXU path is float/bf16; dequantize the int8
-        # matrices (exact: they sit on the 1/128 grid) and restore the
-        # float-layout keys
+    was_q = Q.is_quantized(fused)
+    if quantized is None:
+        quantized = was_q
+    if was_q:
+        # restore a float-layout view for the shared/float pieces (exact:
+        # blob int8 weights sit on the 1/128 grid)
+        fq = fused
         fused = dict(fused)
-        rec = (fused["gru_a_rec"]["recurrent_q8"].astype(jnp.float32) / 128.0
+        rec = (fq["gru_a_rec"]["recurrent_q8"].astype(jnp.float32) / 128.0
                + jnp.concatenate([jnp.diag(d) for d in jnp.split(
-                   fused["gru_a_rec"]["recurrent_diag"], 3)], axis=1))
-        fused["gru_a_rec"] = dict(fused["gru_a_rec"], recurrent=rec)
+                   fq["gru_a_rec"]["recurrent_diag"], 3)], axis=1))
+        fused["gru_a_rec"] = dict(fq["gru_a_rec"], recurrent=rec)
         fused["gru_b_in"] = fused.pop("gru_b_in_q8").astype(jnp.float32) / 128.0
     na, nb = cfg.rnn_units1, cfg.rnn_units2
     emb_cat = jnp.concatenate(
         [fused["embed_sig_a"], fused["embed_pred_a"], fused["embed_exc_a"]],
-        axis=0).astype(dtype)                           # [768, 3Na]
+        axis=0)                                         # [768, 3Na]
     dk = fused["dual_fc"]["kernel"]                     # [nb, 256, 2]
     # column layout: one [nb, 512] matmul per step yields BOTH channels of
     # every node's pre-activation; bias/factor ride as [1, 512] rows
@@ -84,10 +97,7 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
     dual_factor = jnp.concatenate([fused["dual_fc"]["factor"][:, 0],
                                    fused["dual_fc"]["factor"][:, 1]])[None, :]
     kw = {
-        "emb_cat": emb_cat,
-        "a_rec": fused["gru_a_rec"]["recurrent"].astype(dtype),
         "a_bias1": fused["gru_a_rec"]["bias"][1][None, :].astype(jnp.float32),
-        "b_in": fused["gru_b_in"].astype(dtype),
         "b_rec": fused["gru_b_rec"]["recurrent"].astype(dtype),
         "b_bias1": fused["gru_b_rec"]["bias"][1][None, :].astype(jnp.float32),
         "dual_w": dual_w.astype(jnp.float32),
@@ -95,8 +105,35 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16):
         "dual_factor": dual_factor.astype(jnp.float32),
         "logit_table": jnp.asarray(_logit_table())[None, :],  # [1, 256]
     }
-    kw.update(_merged_weights(kw, na, nb, dtype))
+    if quantized:
+        if was_q:
+            a_off_q8 = fq["gru_a_rec"]["recurrent_q8"]
+            a_diag = fq["gru_a_rec"]["recurrent_diag"]
+            b_in_q8 = fq["gru_b_in_q8"]
+        else:
+            off, a_diag = Q.split_diag(fused["gru_a_rec"]["recurrent"])
+            a_off_q8 = Q.quantize_weights_int8(off)
+            b_in_q8 = Q.quantize_weights_int8(fused["gru_b_in"])
+        # per-column scales for the (reference-float) fused embedding table
+        emb_f32 = emb_cat.astype(jnp.float32)
+        emb_scale = jnp.maximum(jnp.max(jnp.abs(emb_f32), axis=0), 1e-10) / 127.0
+        emb_q8 = jnp.clip(jnp.round(emb_f32 / emb_scale), -127, 127
+                          ).astype(jnp.int8)
+        kw.update(
+            emb_q8=emb_q8, emb_scale=emb_scale[None, :],
+            a_rec_q8=a_off_q8, a_diag=jnp.asarray(a_diag, jnp.float32)[None, :],
+            b_in_q8=b_in_q8)
+    else:
+        kw.update(
+            emb_cat=emb_cat.astype(dtype),
+            a_rec=fused["gru_a_rec"]["recurrent"].astype(dtype),
+            b_in=fused["gru_b_in"].astype(dtype))
+        kw.update(_merged_weights(kw, na, nb, dtype))
     return kw
+
+
+def is_q8_bundle(kw) -> bool:
+    return "emb_q8" in kw
 
 
 def _merged_weights(kw, na, nb, dtype):
@@ -164,15 +201,147 @@ def _onehot(idx, n):
     return (lanes == idx).astype(jnp.float32)
 
 
-def _sample_kernel(n_samples, na, nb,
-                   # inputs
-                   emb_ref, arec_ref, abias_ref, bin_ref, brec_ref, bbias_ref,
-                   dualw_ref, dualb_ref, dualf_ref, table_ref,
-                   conda_ref, condb_ref, lpc_ref,
-                   ha_in, hb_in, sig_in, exc_in, de_in, rng_in,
-                   # outputs
-                   ha_out, hb_out, sig_out, exc_out, de_out, rng_out,
-                   pcm_out):
+# Weight-operand ref names per numeric variant, in kernel-argument order.
+_WNAMES_F32 = ("emb_cat", "a_rec", "a_bias1", "b_in", "b_rec", "b_bias1",
+               "dual_w", "dual_bias", "dual_factor", "logit_table")
+_WNAMES_Q8 = ("emb_q8", "emb_scale", "a_rec_q8", "a_diag", "a_bias1",
+              "b_in_q8", "b_rec", "b_bias1",
+              "dual_w", "dual_bias", "dual_factor", "logit_table")
+
+_SCALE_Q = 1.0 / (128.0 * 127.0)      # DOT_PROD rescale (nn.quantized)
+
+
+def _quant_act(h):
+    """floor(0.5 + 127*h) -> int8, the C's round-half-up activation
+    quantizer (src/vec.h:243, nn.quantized.quantize_act_int8)."""
+    return jnp.clip(jnp.floor(0.5 + 127.0 * h), -128, 127).astype(jnp.int8)
+
+
+def _gru_ab(q8, na, nb, W, conda, condb, sig_u, pred_u, exc_u, h_a0, h_b0):
+    """One GRU-A + GRU-B step on a batch tile; the numeric core shared by
+    every kernel variant.
+
+    q8=False: bf16/f32 MXU operands. q8=True: int8 MXU operands -- exact
+    DOT_PROD integer numerics for the GRU matrices (round(128*w) weights x
+    floor(0.5+127*h) activations, int32 accumulation, float GRU-A diagonal,
+    matching nn.quantized.gru_precomputed_step_q8) and a per-column-scaled
+    int8 embedding table (float in the reference; ~0.4% per-entry error).
+    """
+    b = sig_u.shape[0]
+    # single 768-lane one-hot with three hot positions (data-dependent row
+    # gathers don't vectorize in Mosaic; one-hot contraction does). The hot
+    # ranges are disjoint, so boolean OR avoids unsupported i8 vector adds.
+    l768 = jax.lax.broadcasted_iota(jnp.int32, (b, 768), 1)
+    if q8:
+        oh = ((l768 == sig_u) | (l768 == pred_u + 256)
+              | (l768 == exc_u + 512)).astype(jnp.int8)
+        gate_a = conda + (jnp.dot(oh, W["emb_q8"][:],
+                                  preferred_element_type=jnp.int32)
+                          .astype(jnp.float32) * W["emb_scale"][:])
+        h_q = _quant_act(h_a0)
+        zrec = (jnp.dot(h_q, W["a_rec_q8"][:],
+                        preferred_element_type=jnp.int32)
+                .astype(jnp.float32) * _SCALE_Q
+                + W["a_diag"][:] * jnp.concatenate([h_a0] * 3, axis=1)
+                + W["a_bias1"][:])
+    else:
+        wdt = W["emb_cat"].dtype
+        oh = ((l768 == sig_u).astype(wdt)
+              + (l768 == pred_u + 256).astype(wdt)
+              + (l768 == exc_u + 512).astype(wdt))
+        gate_a = conda + jnp.dot(oh, W["emb_cat"][:],
+                                 preferred_element_type=jnp.float32)
+        zrec = jnp.dot(h_a0.astype(wdt), W["a_rec"][:],
+                       preferred_element_type=jnp.float32) + W["a_bias1"][:]
+    z = jax.nn.sigmoid(gate_a[:, :na] + zrec[:, :na])
+    r = jax.nn.sigmoid(gate_a[:, na:2 * na] + zrec[:, na:2 * na])
+    hc = jnp.tanh(gate_a[:, 2 * na:] + r * zrec[:, 2 * na:])
+    h_a = z * h_a0 + (1.0 - z) * hc
+
+    if q8:
+        gate_b = condb + (jnp.dot(_quant_act(h_a), W["b_in_q8"][:],
+                                  preferred_element_type=jnp.int32)
+                          .astype(jnp.float32) * _SCALE_Q)
+    else:
+        wdt = W["emb_cat"].dtype
+        gate_b = condb + jnp.dot(h_a.astype(wdt), W["b_in"][:],
+                                 preferred_element_type=jnp.float32)
+    zrec_b = jnp.dot(h_b0.astype(W["b_rec"].dtype), W["b_rec"][:],
+                     preferred_element_type=jnp.float32) + W["b_bias1"][:]
+    zb = jax.nn.sigmoid(gate_b[:, :nb] + zrec_b[:, :nb])
+    rb = jax.nn.sigmoid(gate_b[:, nb:2 * nb] + zrec_b[:, nb:2 * nb])
+    hcb = jnp.tanh(gate_b[:, 2 * nb:] + rb * zrec_b[:, 2 * nb:])
+    h_b = zb * h_b0 + (1.0 - zb) * hcb
+    return h_a, h_b
+
+
+def _draw_bytes(rng_out, adv=None):
+    """Two KISS99 draws per stream in uint32 vector registers; returns the 8
+    per-bit threshold bytes. With `adv` (bool [BT, 1]), masked streams keep
+    their RNG state (scan-path semantics: the RNG advances only on advanced
+    steps, even when the sampled value is overridden)."""
+    z0 = rng_out[:, 0:1]
+    w0 = rng_out[:, 1:2]
+    j0 = rng_out[:, 2:3]
+    c0 = rng_out[:, 3:4]
+    r1, z1, w1, j1, c1 = _kiss99(z0, w0, j0, c0)
+    r2, z1, w1, j1, c1 = _kiss99(z1, w1, j1, c1)
+    if adv is None:
+        rng_out[:, 0:1] = z1
+        rng_out[:, 1:2] = w1
+        rng_out[:, 2:3] = j1
+        rng_out[:, 3:4] = c1
+    else:
+        adv_u = adv.astype(jnp.uint32)
+        keep = jnp.uint32(1) - adv_u
+        rng_out[:, 0:1] = adv_u * z1 + keep * z0
+        rng_out[:, 1:2] = adv_u * w1 + keep * w0
+        rng_out[:, 2:3] = adv_u * j1 + keep * j0
+        rng_out[:, 3:4] = adv_u * c1 + keep * c0
+    return [(r1 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)] + \
+           [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
+
+
+def _bit_tree(W, h_b, bytes_, exc_u):
+    """8 sequential bit decisions over the dual-FC tree; all 256 node logits
+    from one [BT, nb] x [nb, 512] matmul, lane-selects via masked VPU
+    reduces (sample_mdense, src/nnet.c:163-214)."""
+    pre = jnp.dot(h_b, W["dual_w"][:],
+                  preferred_element_type=jnp.float32) + W["dual_bias"][:]
+    tpre = W["dual_factor"][:] * jnp.tanh(pre)       # [BT, 512]
+    all_logits = tpre[:, :256] + tpre[:, 256:]       # [BT, 256]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, all_logits.shape, 1)
+    table_row = W["logit_table"][:]                  # [1, 256]
+    val = jnp.zeros_like(exc_u)
+    for b in range(8):
+        rows = (1 << b) | val
+        # lane-select via masked reduce (VPU) instead of MXU gathers
+        logit = jnp.sum(jnp.where(lanes == rows, all_logits, 0.0),
+                        axis=1, keepdims=True)
+        byte_idx = bytes_[b].astype(jnp.int32)
+        thr = jnp.sum(jnp.where(lanes == byte_idx, table_row, 0.0),
+                      axis=1, keepdims=True)
+        bit = (thr < logit).astype(jnp.int32)
+        val = (val << 1) | bit
+    return val
+
+
+def _ar_kernel(n_samples, na, nb, q8, masked, sampled, *refs):
+    """Unified fused AR kernel body: f32/bf16 or int8 MXU operands (q8),
+    free-running or per-stream/per-sample masked + teacher-forced (masked),
+    with or without the dual-FC sampler (sampled=False is masked-only --
+    callers assert every advanced step is teacher-forced)."""
+    names = _WNAMES_Q8 if q8 else _WNAMES_F32
+    nw = len(names)
+    W = dict(zip(names, refs[:nw]))
+    conda_ref, condb_ref, lpc_ref = refs[nw:nw + 3]
+    i = nw + 3
+    if masked:
+        preload_ref, mode_ref = refs[i:i + 2]
+        i += 2
+    (ha_in, hb_in, sig_in, exc_in, de_in, rng_in,
+     ha_out, hb_out, sig_out, exc_out, de_out, rng_out, pcm_out) = refs[i:]
+
     ha_out[:] = ha_in[:]
     hb_out[:] = hb_in[:]
     sig_out[:] = sig_in[:]
@@ -180,7 +349,10 @@ def _sample_kernel(n_samples, na, nb,
     de_out[:] = de_in[:]
     rng_out[:] = rng_in[:]
 
-    def step(t, _):  # noqa: C901  (single fused AR step)
+    def step(target, m, _):
+        if masked:
+            adv = (m & 1) > 0                     # [BT, 1] bool
+            tf = (m & 2) > 0
         last_sig = sig_out[:]                     # [BT, 16]
         lpc = lpc_ref[:]
         pred = -jnp.sum(last_sig * lpc, axis=1, keepdims=True)   # [BT, 1]
@@ -188,82 +360,59 @@ def _sample_kernel(n_samples, na, nb,
         pred_u = _lin2ulaw(pred)
         exc_u = exc_out[:]                        # [BT, 1] int32
 
-        wdt = emb_ref.dtype
-        # single 768-lane one-hot with three hot positions (data-dependent
-        # row gathers don't vectorize in Mosaic; one-hot contraction does)
-        l768 = jax.lax.broadcasted_iota(jnp.int32, (sig_u.shape[0], 768), 1)
-        oh = ((l768 == sig_u).astype(wdt)
-              + (l768 == pred_u + 256).astype(wdt)
-              + (l768 == exc_u + 512).astype(wdt))
-        gate_a = conda_ref[:] + jnp.dot(oh, emb_ref[:],
-                                        preferred_element_type=jnp.float32)
-        h_a = ha_out[:]
-        zrec = jnp.dot(h_a.astype(wdt), arec_ref[:],
-                       preferred_element_type=jnp.float32) + abias_ref[:]
-        z = jax.nn.sigmoid(gate_a[:, :na] + zrec[:, :na])
-        r = jax.nn.sigmoid(gate_a[:, na:2 * na] + zrec[:, na:2 * na])
-        hc = jnp.tanh(gate_a[:, 2 * na:] + r * zrec[:, 2 * na:])
-        h_a = z * h_a + (1.0 - z) * hc
-        ha_out[:] = h_a
+        h_a0 = ha_out[:]
+        h_b0 = hb_out[:]
+        h_a, h_b = _gru_ab(q8, na, nb, W, conda_ref[:], condb_ref[:],
+                           sig_u, pred_u, exc_u, h_a0, h_b0)
+        if masked:
+            ha_out[:] = jnp.where(adv, h_a, h_a0)
+            hb_out[:] = jnp.where(adv, h_b, h_b0)
+            bytes_ = _draw_bytes(rng_out, adv)
+        else:
+            ha_out[:] = h_a
+            hb_out[:] = h_b
+            bytes_ = _draw_bytes(rng_out)
 
-        gate_b = condb_ref[:] + jnp.dot(h_a.astype(wdt), bin_ref[:],
-                                        preferred_element_type=jnp.float32)
-        h_b = hb_out[:]
-        zrec_b = jnp.dot(h_b.astype(wdt), brec_ref[:],
-                         preferred_element_type=jnp.float32) + bbias_ref[:]
-        zb = jax.nn.sigmoid(gate_b[:, :nb] + zrec_b[:, :nb])
-        rb = jax.nn.sigmoid(gate_b[:, nb:2 * nb] + zrec_b[:, nb:2 * nb])
-        hcb = jnp.tanh(gate_b[:, 2 * nb:] + rb * zrec_b[:, 2 * nb:])
-        h_b = zb * h_b + (1.0 - zb) * hcb
-        hb_out[:] = h_b
+        if sampled:
+            val = _bit_tree(W, h_b, bytes_, exc_u)
+        else:
+            val = jnp.zeros_like(exc_u)
 
-        # --- bit-tree sampling ------------------------------------------
-        z0 = rng_out[:, 0:1]
-        w0 = rng_out[:, 1:2]
-        j0 = rng_out[:, 2:3]
-        c0 = rng_out[:, 3:4]
-        r1, z0, w0, j0, c0 = _kiss99(z0, w0, j0, c0)
-        r2, z0, w0, j0, c0 = _kiss99(z0, w0, j0, c0)
-        rng_out[:, 0:1] = z0
-        rng_out[:, 1:2] = w0
-        rng_out[:, 2:3] = j0
-        rng_out[:, 3:4] = c0
-        bytes_ = [(r1 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)] + \
-                 [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
-
-        # all 256 node logits in one go: [BT, nb] @ [nb, 512] -> split
-        pre = jnp.dot(h_b, dualw_ref[:],
-                      preferred_element_type=jnp.float32) + dualb_ref[:]
-        tpre = dualf_ref[:] * jnp.tanh(pre)              # [BT, 512]
-        all_logits = tpre[:, :256] + tpre[:, 256:]       # [BT, 256]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, all_logits.shape, 1)
-        table_row = table_ref[:]                         # [1, 256]
-
-        val = jnp.zeros_like(exc_u)
-        for b in range(8):
-            rows = (1 << b) | val
-            # lane-select via masked reduce (VPU) instead of MXU gathers
-            logit = jnp.sum(jnp.where(lanes == rows, all_logits, 0.0),
-                            axis=1, keepdims=True)
-            byte_idx = bytes_[b].astype(jnp.int32)
-            thr = jnp.sum(jnp.where(lanes == byte_idx, table_row, 0.0),
-                          axis=1, keepdims=True)
-            bit = (thr < logit).astype(jnp.int32)
-            val = (val << 1) | bit
-
+        de0 = de_out[:]
+        if masked:
+            pcm_tf = target - PREEMPHASIS * de0
+            exc_tf = _lin2ulaw(pcm_tf - pred)
+            val = jnp.where(tf, exc_tf, val)
+            pcm = jnp.where(tf, pcm_tf, pred + _ulaw2lin(val))
+            exc_out[:] = jnp.where(adv, val, exc_u)
+            sig_out[:] = jnp.where(
+                adv,
+                jnp.concatenate([pcm, last_sig[:, :LPC_ORDER - 1]], axis=1),
+                last_sig)
+            out = pcm + PREEMPHASIS * de0
+            de_out[:] = jnp.where(adv, out, de0)
+            return jnp.where(
+                adv, jnp.floor(0.5 + jnp.clip(out, -32767.0, 32767.0)), 0.0)
         pcm = pred + _ulaw2lin(val)
         exc_out[:] = val
-        sig_out[:] = jnp.concatenate([pcm, last_sig[:, :LPC_ORDER - 1]], axis=1)
-        out = pcm + PREEMPHASIS * de_out[:]
+        sig_out[:] = jnp.concatenate([pcm, last_sig[:, :LPC_ORDER - 1]],
+                                     axis=1)
+        out = pcm + PREEMPHASIS * de0
         de_out[:] = out
         out = jnp.clip(out, -32767.0, 32767.0)
-        return jnp.floor(0.5 + out)             # [BT, 1]
+        return jnp.floor(0.5 + out)               # [BT, 1]
 
     # Mosaic cannot store single dynamic lanes, so samples are produced in
     # groups of 8 and written as one [8, BT] sublane block per group (the
     # output is [n_samples, B], transposed back outside the kernel).
     def octave(o, _):
-        cols = [step(o * 8 + j, None) for j in range(8)]
+        if masked:
+            pblk = preload_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
+            mblk = mode_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
+            cols = [step(pblk[:, j:j + 1], mblk[:, j:j + 1], None)
+                    for j in range(8)]
+        else:
+            cols = [step(None, None, None) for _ in range(8)]
         block = jnp.concatenate(cols, axis=1)   # [BT, 8]
         pcm_out[pl.ds(pl.multiple_of(o * 8, 8), 8), :] = block.T
         return 0
@@ -373,139 +522,79 @@ def _sample_kernel_merged(n_samples, na, nb,
     jax.lax.fori_loop(0, n_samples // 8, octave, 0)
 
 
-def _sample_kernel_masked(n_samples, na, nb, sampled,
-                          # inputs
-                          emb_ref, arec_ref, abias_ref, bin_ref, brec_ref,
-                          bbias_ref, dualw_ref, dualb_ref, dualf_ref,
-                          table_ref, conda_ref, condb_ref, lpc_ref,
-                          preload_ref, mode_ref,
-                          ha_in, hb_in, sig_in, exc_in, de_in, rng_in,
-                          # outputs
-                          ha_out, hb_out, sig_out, exc_out, de_out, rng_out,
-                          pcm_out):
-    """Masked/teacher-forced variant of _sample_kernel, the fused-kernel twin
-    of models.lpcnet.synthesize_frame_masked (the batched-PLC workhorse).
 
-    preload_ref/mode_ref are [n_samples, BT] (sample-major, like pcm_out, so
-    each 8-step octave reads one sublane block). mode bit0 = advance (process
-    this sample; else the stream's state, including its RNG, is frozen and
-    the emitted sample is 0), bit1 = teacher-force (excitation derived from
-    the preload target instead of sampled, src/lpcnet.c:256-259; the RNG
-    still advances, matching the scan path).
 
-    `sampled` (static) selects whether the dual-FC bit-tree sampler runs at
-    all. With sampled=False every advanced step MUST be teacher-forced
-    (callers assert); dropping the sampler + dual-FC matmul makes the
-    teacher-forced step ~1.5x faster (BENCHMARKS.md sampler decomposition).
-    """
-    ha_out[:] = ha_in[:]
-    hb_out[:] = hb_in[:]
-    sig_out[:] = sig_in[:]
-    exc_out[:] = exc_in[:]
-    de_out[:] = de_in[:]
-    rng_out[:] = rng_in[:]
+def _run_ar_kernel(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt,
+                   sampled=True, preload_t=None, mode_t=None):
+    """Shared pallas_call builder for the unified AR kernel (_ar_kernel):
+    picks the weight-ref list by bundle type (f32/bf16 vs int8), appends the
+    masked variant's per-sample preload/mode blocks when given, and wires
+    the carried SampleState through input/output blocks."""
+    q8 = is_q8_bundle(kw)
+    masked = preload_t is not None
+    na, nb = cfg.rnn_units1, cfg.rnn_units2
+    b = cond_a.shape[0]
+    assert b % bt == 0, f"batch {b} must be a multiple of {bt}"
+    assert n_samples % 8 == 0, "n_samples must be a multiple of 8"
+    grid = (b // bt,)
+    BT = bt
 
-    def step(target, m, _):
-        adv = (m & 1) > 0                         # [BT, 1] bool
-        tf = (m & 2) > 0
-        last_sig = sig_out[:]
-        lpc = lpc_ref[:]
-        pred = -jnp.sum(last_sig * lpc, axis=1, keepdims=True)
-        sig_u = _lin2ulaw(last_sig[:, 0:1])
-        pred_u = _lin2ulaw(pred)
-        exc_u = exc_out[:]
+    rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr, state.rng.jcong],
+                    axis=1)                                # [B, 4] uint32
+    exc = state.last_exc[:, None].astype(jnp.int32)        # [B, 1]
+    de = state.deemph[:, None]
 
-        wdt = emb_ref.dtype
-        l768 = jax.lax.broadcasted_iota(jnp.int32, (sig_u.shape[0], 768), 1)
-        oh = ((l768 == sig_u).astype(wdt)
-              + (l768 == pred_u + 256).astype(wdt)
-              + (l768 == exc_u + 512).astype(wdt))
-        gate_a = conda_ref[:] + jnp.dot(oh, emb_ref[:],
-                                        preferred_element_type=jnp.float32)
-        h_a0 = ha_out[:]
-        zrec = jnp.dot(h_a0.astype(wdt), arec_ref[:],
-                       preferred_element_type=jnp.float32) + abias_ref[:]
-        z = jax.nn.sigmoid(gate_a[:, :na] + zrec[:, :na])
-        r = jax.nn.sigmoid(gate_a[:, na:2 * na] + zrec[:, na:2 * na])
-        hc = jnp.tanh(gate_a[:, 2 * na:] + r * zrec[:, 2 * na:])
-        h_a = z * h_a0 + (1.0 - z) * hc
-        ha_out[:] = jnp.where(adv, h_a, h_a0)
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
 
-        gate_b = condb_ref[:] + jnp.dot(h_a.astype(wdt), bin_ref[:],
-                                        preferred_element_type=jnp.float32)
-        h_b0 = hb_out[:]
-        zrec_b = jnp.dot(h_b0.astype(wdt), brec_ref[:],
-                         preferred_element_type=jnp.float32) + bbias_ref[:]
-        zb = jax.nn.sigmoid(gate_b[:, :nb] + zrec_b[:, :nb])
-        rb = jax.nn.sigmoid(gate_b[:, nb:2 * nb] + zrec_b[:, nb:2 * nb])
-        hcb = jnp.tanh(gate_b[:, 2 * nb:] + rb * zrec_b[:, 2 * nb:])
-        h_b = zb * h_b0 + (1.0 - zb) * hcb
-        hb_out[:] = jnp.where(adv, h_b, h_b0)
+    def b_spec(cols):
+        return pl.BlockSpec((BT, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
 
-        # RNG advances on every advanced step (scan-path semantics: the
-        # sampler is evaluated even when its result is overridden)
-        z0 = rng_out[:, 0:1]
-        w0 = rng_out[:, 1:2]
-        j0 = rng_out[:, 2:3]
-        c0 = rng_out[:, 3:4]
-        r1, z1, w1, j1, c1 = _kiss99(z0, w0, j0, c0)
-        r2, z1, w1, j1, c1 = _kiss99(z1, w1, j1, c1)
-        adv_u = adv.astype(jnp.uint32)
-        keep = jnp.uint32(1) - adv_u
-        rng_out[:, 0:1] = adv_u * z1 + keep * z0
-        rng_out[:, 1:2] = adv_u * w1 + keep * w0
-        rng_out[:, 2:3] = adv_u * j1 + keep * j0
-        rng_out[:, 3:4] = adv_u * c1 + keep * c0
+    t_spec = pl.BlockSpec((n_samples, BT), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
 
-        if sampled:
-            bytes_ = [(r1 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)] + \
-                     [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
-            pre = jnp.dot(h_b, dualw_ref[:],
-                          preferred_element_type=jnp.float32) + dualb_ref[:]
-            tpre = dualf_ref[:] * jnp.tanh(pre)
-            all_logits = tpre[:, :256] + tpre[:, 256:]
-            lanes = jax.lax.broadcasted_iota(jnp.int32, all_logits.shape, 1)
-            table_row = table_ref[:]
-            val = jnp.zeros_like(exc_u)
-            for b in range(8):
-                rows = (1 << b) | val
-                logit = jnp.sum(jnp.where(lanes == rows, all_logits, 0.0),
-                                axis=1, keepdims=True)
-                byte_idx = bytes_[b].astype(jnp.int32)
-                thr = jnp.sum(jnp.where(lanes == byte_idx, table_row, 0.0),
-                              axis=1, keepdims=True)
-                bit = (thr < logit).astype(jnp.int32)
-                val = (val << 1) | bit
-        else:
-            val = jnp.zeros_like(exc_u)
+    names = _WNAMES_Q8 if q8 else _WNAMES_F32
+    kernel = functools.partial(_ar_kernel, n_samples, na, nb, q8, masked,
+                               sampled)
+    in_specs = ([w_spec(kw[n].shape) for n in names]
+                + [b_spec(3 * na), b_spec(3 * nb), b_spec(LPC_ORDER)]
+                + ([t_spec, t_spec] if masked else [])
+                + [b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1),
+                   b_spec(1), b_spec(4)])
+    operands = ([kw[n] for n in names] + [cond_a, cond_b, lpc]
+                + ([preload_t, mode_t] if masked else [])
+                + [state.gru_a, state.gru_b, state.last_sig, exc, de, rng])
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, na), jnp.float32),
+        jax.ShapeDtypeStruct((b, nb), jnp.float32),
+        jax.ShapeDtypeStruct((b, LPC_ORDER), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((b, 4), jnp.uint32),
+        jax.ShapeDtypeStruct((n_samples, b), jnp.float32),
+    )
+    out_specs = (
+        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
+        b_spec(4), t_spec,
+    )
 
-        de0 = de_out[:]
-        pcm_tf = target - PREEMPHASIS * de0
-        exc_tf = _lin2ulaw(pcm_tf - pred)
-        val = jnp.where(tf, exc_tf, val)
-        pcm = jnp.where(tf, pcm_tf, pred + _ulaw2lin(val))
-        exc_out[:] = jnp.where(adv, val, exc_u)
-        sig_out[:] = jnp.where(
-            adv, jnp.concatenate([pcm, last_sig[:, :LPC_ORDER - 1]], axis=1),
-            last_sig)
-        out = pcm + PREEMPHASIS * de0
-        de_out[:] = jnp.where(adv, out, de0)
-        emit = jnp.where(adv, jnp.floor(0.5 + jnp.clip(out, -32767.0, 32767.0)),
-                         0.0)
-        return emit                                # [BT, 1]
+    ha, hb, sig, exc2, de2, rng2, pcm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=_INTERPRET,
+    )(*operands)
 
-    def octave(o, _):
-        pblk = preload_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :]   # [8, BT]
-        mblk = mode_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :]
-        pblk_t = pblk.T                                             # [BT, 8]
-        mblk_t = mblk.T
-        cols = [step(pblk_t[:, j:j + 1], mblk_t[:, j:j + 1], None)
-                for j in range(8)]
-        block = jnp.concatenate(cols, axis=1)
-        pcm_out[pl.ds(pl.multiple_of(o * 8, 8), 8), :] = block.T
-        return 0
-
-    jax.lax.fori_loop(0, n_samples // 8, octave, 0)
+    new_state = SampleState(
+        gru_a=ha, gru_b=hb, last_sig=sig,
+        last_exc=exc2[:, 0], deemph=de2[:, 0],
+        rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
+    )
+    return new_state, pcm.T
 
 
 @functools.partial(jax.jit,
@@ -520,82 +609,15 @@ def synthesize_frame_masked_pallas(kw, state: SampleState, cond_a, cond_b,
     for the mask semantics). sampled=False elides the dual-FC sampler for
     calls whose advanced steps are all teacher-forced.
     """
-    na, nb = cfg.rnn_units1, cfg.rnn_units2
     b = cond_a.shape[0]
     # the masked kernel carries extra VMEM blocks (preload/mode/pcm are all
     # [n_samples, BT]); the 256 tile is the safe/fast point here
     bt = bt or min(_pick_bt(b), 256)
-    assert b % bt == 0, f"batch {b} must be a multiple of {bt}"
-    assert n_samples % 8 == 0, "n_samples must be a multiple of 8"
-    grid = (b // bt,)
-    BT = bt
-
-    rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr, state.rng.jcong],
-                    axis=1)
-    exc = state.last_exc[:, None].astype(jnp.int32)
-    de = state.deemph[:, None]
     mode = (jnp.asarray(advance_mask, bool).astype(jnp.int32)
             | (jnp.asarray(preload_mask, bool).astype(jnp.int32) << 1))
     preload_t = jnp.asarray(preload, jnp.float32).T      # [n, B]
-    mode_t = mode.T
-
-    def w_spec(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def b_spec(cols):
-        return pl.BlockSpec((BT, cols), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    t_spec = pl.BlockSpec((n_samples, BT), lambda i: (0, i),
-                          memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_sample_kernel_masked, n_samples, na, nb,
-                               sampled)
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, na), jnp.float32),
-        jax.ShapeDtypeStruct((b, nb), jnp.float32),
-        jax.ShapeDtypeStruct((b, LPC_ORDER), jnp.float32),
-        jax.ShapeDtypeStruct((b, 1), jnp.int32),
-        jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        jax.ShapeDtypeStruct((b, 4), jnp.uint32),
-        jax.ShapeDtypeStruct((n_samples, b), jnp.float32),
-    )
-    out_specs = (
-        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
-        b_spec(4), t_spec,
-    )
-    in_specs = [
-        w_spec(kw["emb_cat"].shape), w_spec(kw["a_rec"].shape),
-        w_spec(kw["a_bias1"].shape), w_spec(kw["b_in"].shape),
-        w_spec(kw["b_rec"].shape), w_spec(kw["b_bias1"].shape),
-        w_spec(kw["dual_w"].shape), w_spec(kw["dual_bias"].shape),
-        w_spec(kw["dual_factor"].shape), w_spec(kw["logit_table"].shape),
-        b_spec(3 * na), b_spec(3 * nb), b_spec(LPC_ORDER),
-        t_spec, t_spec,
-        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
-        b_spec(4),
-    ]
-
-    ha, hb, sig, exc2, de2, rng2, pcm = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=_INTERPRET,
-    )(kw["emb_cat"], kw["a_rec"], kw["a_bias1"], kw["b_in"], kw["b_rec"],
-      kw["b_bias1"], kw["dual_w"], kw["dual_bias"], kw["dual_factor"],
-      kw["logit_table"],
-      cond_a, cond_b, lpc, preload_t, mode_t,
-      state.gru_a, state.gru_b, state.last_sig, exc, de, rng)
-
-    new_state = SampleState(
-        gru_a=ha, gru_b=hb, last_sig=sig,
-        last_exc=exc2[:, 0], deemph=de2[:, 0],
-        rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
-    )
-    return new_state, pcm.T
+    return _run_ar_kernel(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt,
+                          sampled=sampled, preload_t=preload_t, mode_t=mode.T)
 
 
 def synthesize_frame_masked_auto(kw, state, cond_a, cond_b, lpc, preload,
@@ -706,79 +728,15 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
                             bt: int = BT
                             ) -> Tuple[SampleState, jnp.ndarray]:
     """Drop-in Pallas replacement for models.lpcnet.synthesize_frame
-    (free-running path; teacher forcing uses the scan path).
+    (free-running path; teacher forcing uses the masked kernel or the scan
+    path). Dispatches f32/bf16 vs int8 on the bundle type (kernel_weights).
 
     Args:
       kw: kernel_weights(fused, cfg) bundle.
-      state: SampleState [B, ...]; B must be a multiple of BT (pad upstream).
+      state: SampleState [B, ...]; B must be a multiple of bt (pad upstream).
     Returns (new_state, pcm [B, n_samples]).
     """
-    BT = bt
-    na, nb = cfg.rnn_units1, cfg.rnn_units2
-    b = cond_a.shape[0]
-    assert b % BT == 0, f"batch {b} must be a multiple of {BT}"
-    assert n_samples % 8 == 0, "n_samples must be a multiple of 8"
-    grid = (b // BT,)
-
-    rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr, state.rng.jcong],
-                    axis=1)                                # [B, 4] uint32
-    exc = state.last_exc[:, None].astype(jnp.int32)        # [B, 1]
-    de = state.deemph[:, None]
-
-    def w_spec(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
-    def b_spec(cols, dtype=None):
-        return pl.BlockSpec((BT, cols), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(_sample_kernel, n_samples, na, nb)
-    out_shapes = (
-        jax.ShapeDtypeStruct((b, na), jnp.float32),
-        jax.ShapeDtypeStruct((b, nb), jnp.float32),
-        jax.ShapeDtypeStruct((b, LPC_ORDER), jnp.float32),
-        jax.ShapeDtypeStruct((b, 1), jnp.int32),
-        jax.ShapeDtypeStruct((b, 1), jnp.float32),
-        jax.ShapeDtypeStruct((b, 4), jnp.uint32),
-        jax.ShapeDtypeStruct((n_samples, b), jnp.float32),
-    )
-    pcm_spec = pl.BlockSpec((n_samples, BT), lambda i: (0, i),
-                            memory_space=pltpu.VMEM)
-    out_specs = (
-        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
-        b_spec(4), pcm_spec,
-    )
-    in_specs = [
-        w_spec(kw["emb_cat"].shape), w_spec(kw["a_rec"].shape),
-        w_spec(kw["a_bias1"].shape), w_spec(kw["b_in"].shape),
-        w_spec(kw["b_rec"].shape), w_spec(kw["b_bias1"].shape),
-        w_spec(kw["dual_w"].shape), w_spec(kw["dual_bias"].shape),
-        w_spec(kw["dual_factor"].shape), w_spec(kw["logit_table"].shape),
-        b_spec(3 * na), b_spec(3 * nb), b_spec(LPC_ORDER),
-        b_spec(na), b_spec(nb), b_spec(LPC_ORDER), b_spec(1), b_spec(1),
-        b_spec(4),
-    ]
-
-    ha, hb, sig, exc2, de2, rng2, pcm = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        interpret=_INTERPRET,
-    )(kw["emb_cat"], kw["a_rec"], kw["a_bias1"], kw["b_in"], kw["b_rec"],
-      kw["b_bias1"], kw["dual_w"], kw["dual_bias"], kw["dual_factor"],
-      kw["logit_table"],
-      cond_a, cond_b, lpc, state.gru_a, state.gru_b, state.last_sig,
-      exc, de, rng)
-
-    new_state = SampleState(
-        gru_a=ha, gru_b=hb, last_sig=sig,
-        last_exc=exc2[:, 0], deemph=de2[:, 0],
-        rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
-    )
-    return new_state, pcm.T
+    return _run_ar_kernel(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt)
 
 
 _BT_BLOCKLIST: set = set()
@@ -795,7 +753,9 @@ def _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt=None):
     LPCNET_KERNEL_BT are not second-guessed)."""
     b = cond_a.shape[0]
     picked = bt or _pick_bt(b)
-    fn = _synthesize_frame_pallas_merged if _MERGED else synthesize_frame_pallas
+    # merged layout only exists for float bundles; q8 has its own fused path
+    fn = (_synthesize_frame_pallas_merged
+          if _MERGED and not is_q8_bundle(kw) else synthesize_frame_pallas)
     if picked in _BT_BLOCKLIST and not (bt or _BT_ENV):
         picked = 256
     try:

@@ -62,3 +62,61 @@ def test_pallas_bf16_close_to_f32():
     r16 = float(np.sqrt(np.mean(np.asarray(pcm16) ** 2)))
     assert np.isfinite(r16)
     assert abs(r16 - r32) / max(r32, 1.0) < 0.5
+
+
+def test_pallas_q8_matches_quantized_scan():
+    """Int8 kernel vs the quantized (DOT_PROD) scan path: the GRU matrices
+    use identical integer numerics; only the embedding table differs (int8
+    w/ per-column scales vs reference-float), so demand strong sample
+    agreement and exact RNG lockstep."""
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(2), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    from lpcnet_tpu.nn import quantized as Q
+    fq = Q.quantize_fused(fused)
+    kw = K.kernel_weights(fq, cfg)
+    assert K.is_q8_bundle(kw)
+
+    b = K.BT
+    feats = jax.random.normal(jax.random.PRNGKey(9), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+    s0 = M.init_sample_state(b, cfg)
+    n = 32
+    s_scan, pcm_scan = M.synthesize_frame(fq, s0, ca, cb, lpc, n_samples=n)
+    s_pal, pcm_pal = K.synthesize_frame_pallas(kw, s0, ca, cb, lpc, cfg,
+                                               n_samples=n)
+    same = np.mean(np.asarray(pcm_scan) == np.asarray(pcm_pal))
+    assert same > 0.9, f"sample agreement only {same}"
+    np.testing.assert_allclose(np.asarray(s_pal.gru_a),
+                               np.asarray(s_scan.gru_a), atol=5e-2)
+    assert np.array_equal(np.asarray(s_pal.rng.z), np.asarray(s_scan.rng.z))
+
+
+def test_pallas_q8_masked_teacher_forced_exact():
+    """Teacher-forced samples are target-derived, so the int8 masked kernel
+    must emit them exactly; frozen (non-advancing) streams must not move."""
+    import jax.numpy as jnp
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(3), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    from lpcnet_tpu.nn import quantized as Q
+    kw = K.kernel_weights(Q.quantize_fused(fused), cfg)
+
+    b, n = 256, 16
+    feats = jax.random.normal(jax.random.PRNGKey(10), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+    s0 = M.init_sample_state(b, cfg)
+    target = jax.random.normal(jax.random.PRNGKey(11), (b, n)) * 1000.0
+    adv = jnp.zeros((b, n), bool).at[: b // 2].set(True)
+    s1, pcm = K.synthesize_frame_masked_pallas(
+        kw, s0, ca, cb, lpc, target, adv, adv, cfg, n, sampled=False)
+    got = np.asarray(pcm)
+    want = np.floor(0.5 + np.clip(np.asarray(target), -32767, 32767))
+    assert np.array_equal(got[: b // 2], want[: b // 2])
+    assert np.all(got[b // 2:] == 0)
+    np.testing.assert_array_equal(np.asarray(s1.gru_a[b // 2:]),
+                                  np.asarray(s0.gru_a[b // 2:]))
+    assert np.array_equal(np.asarray(s1.rng.z[b // 2:]),
+                          np.asarray(s0.rng.z[b // 2:]))
