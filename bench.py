@@ -106,14 +106,16 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
     from lpcnet_tpu.models import plc as PM
     from lpcnet_tpu.plc.batched import BatchedPLC
 
-    cfg = M.LPCNetConfig()
+    nc = bool(os.environ.get("LPCNET_BENCH_NC"))       # non-causal mode
+    cfg = M.LPCNetConfig(lookahead=0) if nc else M.LPCNetConfig()
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     fused = M.fuse_inference_params(params, cfg)
     if os.environ.get("LPCNET_BENCH_INT8"):
         from lpcnet_tpu.nn import quantized as Q
         fused = Q.quantize_fused(fused)
     plc_params = PM.init_params(jax.random.PRNGKey(1))
-    plc = BatchedPLC(fused, cfg, plc_params, batch=batch)
+    plc = BatchedPLC(fused, cfg, plc_params, batch=batch, non_causal=nc,
+                     fused_step=not os.environ.get("LPCNET_BENCH_TWOPATH"))
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
@@ -154,8 +156,9 @@ def main():
     if mode == "plc":
         sps = bench_plc(batch, max(n_frames // 2, 10))
         baseline = 256 * 16000.0
+        sfx = "_nc" if os.environ.get("LPCNET_BENCH_NC") else ""
         print(json.dumps({
-            "metric": f"plc_mixed_loss_samples_per_sec_chip_b{batch}",
+            "metric": f"plc_mixed_loss_samples_per_sec_chip_b{batch}{sfx}",
             "value": round(sps, 1), "unit": "samples/s",
             "vs_baseline": round(sps / baseline, 4),
             "per_stream_rtf": round(sps / batch / 16000.0, 4),

@@ -9,13 +9,17 @@ worst-case compute in exchange for full batching, so a serving node can run
 hundreds of independent streams, each with its own losses, in ONE device
 dispatch per frame.
 
-Structure: the update (good packet) and conceal (lost) paths are both
-evaluated from the same input state; within each path the data-dependent
-pieces (the pcm-drain loop, blending after a loss, deferred frame-net
-flushes) are unrolled to their bounded maxima with per-stream enable masks
-(conceal's drain loop runs at most ceil(plc_buf_size/FRAME_SIZE) = 3
-iterations; the deferred feature buffer holds at most 2*(k-1) = 4 frames).
-The final state is selected per stream by the loss flag.
+Structure: one interleaved program per frame over a single state -- the
+conceal (lost) and update (good packet) paths' sub-ops are masked per
+stream and corresponding sub-ops share device work (the masks are
+disjoint), see _plc_frame_step_fused / _plc_frame_step_nc_fused. The
+data-dependent pieces (the pcm-drain loop, blending after a loss, deferred
+frame-net flushes) are unrolled to their bounded maxima with per-stream
+enable masks (conceal's drain loop runs at most
+ceil(plc_buf_size/FRAME_SIZE) = 3 iterations; the deferred feature buffer
+holds at most 2*(k-1) = 4 frames). The two-path evaluate-both-and-merge
+predecessors (_plc_frame_step, _plc_frame_step_nc) are kept as the
+bit-exactness reference for tests.
 
 Scope: causal mode with or without blending (LPCNET_PLC_CAUSAL /
 LPCNET_PLC_CODEC) and the non-causal mode; no DC filter, no FEC. The host PLC remains the reference
@@ -87,7 +91,8 @@ class BatchedPLC:
     def __init__(self, fused, cfg: M.LPCNetConfig, plc_params, batch: int,
                  enable_blending: bool = True, non_causal: bool = False,
                  plc_cfg: Optional[PM.PLCConfig] = None,
-                 use_kernel: Optional[bool] = None):
+                 use_kernel: Optional[bool] = None,
+                 fused_step: bool = True):
         """use_kernel routes the sample-rate tails through the fused Pallas
         kernel (kernels.sample_loop) instead of the bit-exact lax.scan path:
         ~10x frame-step throughput at serving batch sizes, at the cost of
@@ -116,7 +121,11 @@ class BatchedPLC:
             self.kw = None
         self.state = self.init_state()
         delay, buf_size = self.delay, self.plc_buf_size
-        step_fn = _plc_frame_step_nc if non_causal else _plc_frame_step_fused
+        if fused_step:
+            step_fn = (_plc_frame_step_nc_fused if non_causal
+                       else _plc_frame_step_fused)
+        else:
+            step_fn = _plc_frame_step_nc if non_causal else _plc_frame_step
         self._step_fn = step_fn
         self._step = jax.jit(
             lambda st, fw, pp, kw, pcm, lost: step_fn(
@@ -721,6 +730,150 @@ def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg, kw=None):
         pcm_buf=s.pcm_buf.at[:, :FRAME_SIZE].set(pcm_save),
         loss_count=jnp.zeros_like(s.loss_count))
     return s, jnp.clip(out, -32768, 32767)
+
+
+def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
+                             lost, cfg, enable_blending, delay, plc_buf_size,
+                             kw=None):
+    """Non-causal PLC step as ONE interleaved program over a single state
+    (the non-causal twin of _plc_frame_step_fused; same argument as there:
+    lost/good masks are disjoint, so both paths' sub-ops interleave over one
+    state and the shared ones run once).
+
+    Per-stream sub-op order and RNG lockstep match the two-path
+    _plc_frame_step_nc exactly; shared device work: the queued-update resync
+    runs once instead of twice, the conceal TO-tail and the recovery
+    forward-tail share one sampled kernel call, the conceal 80-tail and the
+    recovery reverse-tail share another, and the buffer re-analysis (conceal
+    continued-loss + recovery) collapses to one enc call. Kernel calls
+    9 -> 5, enc steps 3 -> 2, frame nets 6 -> 4, plc preds 3 -> 2, and the
+    whole-state double-evaluate + merge disappears.
+    """
+    b = pcm.shape[0]
+    s = state
+    L = lost
+    G = ~lost
+    pcm = jnp.asarray(pcm, jnp.float32)
+    pcm_save = pcm
+
+    # ---- shared: drain the deferred resync queued by a previous recovery --
+    s = _process_queued_update(fused, s, cfg, kw)
+
+    burg_feats = burg_cepstral_analysis(pcm)
+    rec = G & (s.loss_count > 0)       # first good frame after a loss
+    gd = G & ~rec
+    first = L & (s.loss_count == 0)    # first lost frame
+
+    # ---- shared plc_pred: conceal (zeros input) | recovery (burg input) ---
+    inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+    inp = inp.at[:, :2 * NB_BANDS].set(burg_feats)
+    inp = inp.at[:, -1].set(1.0)
+    inp_sel = jnp.where(L[:, None], jnp.zeros_like(inp), inp)
+    s = _plc_pred_masked(plc_params, s, inp_sel, L | rec)
+
+    # conceal: energy attenuation with the PRE-increment loss count
+    att = _att_of_pre(s.loss_count)
+    s = s._replace(features=jnp.where(
+        L[:, None],
+        s.features.at[:, 0].set(jnp.maximum(-10.0, s.features[:, 0] + att)),
+        s.features))
+
+    saved = (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc)
+
+    # ---- shared fnet + call 1 (TO): conceal head | recovery forward tail --
+    s = _fnet_masked(fused, s, _pad36(s.features), L | rec, cfg)
+    buf_head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
+    advTO = (L | rec)[:, None] & jnp.ones((b, _TO), bool)
+    s, t1 = _tail_masked(fused, s, buf_head, first[:, None] & advTO, advTO,
+                         cfg, kw)
+    head = jnp.where(first[:, None], buf_head, t1)
+    # recovery stores its forward tail in the buffer head; continued-loss
+    # conceal refreshes the head with its own continuation
+    s = s._replace(pcm_buf=jnp.where(
+        (rec | (L & ~first))[:, None],
+        s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(t1), s.pcm_buf))
+
+    # recovery: reverse-time synthesis from the incoming audio
+    fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
+    s = s._replace(sstate=_bwhere(rec, fresh, s.sstate))
+    s = _fnet_masked(fused, s, _pad36(s.features), rec, cfg)
+    rev = pcm[:, ::-1]
+    adv160_r = rec[:, None] & jnp.ones((b, FRAME_SIZE), bool)
+    s, _ = _tail_masked(fused, s, rev, adv160_r, adv160_r, cfg, kw,
+                        sampled=False)
+
+    # ---- shared call 2 (80): conceal tail | recovery reverse tail ---------
+    adv80 = (L | rec)[:, None] & jnp.ones((b, _N1), bool)
+    s, t2 = _tail_masked(fused, s, jnp.zeros((b, _N1)),
+                         jnp.zeros((b, _N1), bool), adv80, cfg, kw)
+    pcm_c = jnp.concatenate([head, t2], axis=1)
+
+    # recovery: reverse-blend into the buffered forward tail, then restore
+    w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_TO) / _TO)
+    fwd_head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
+    blended = jnp.floor(0.5 + w[::-1] * fwd_head
+                        + (1 - w[::-1]) * t2[:, ::-1])
+    s = s._replace(pcm_buf=jnp.where(
+        rec[:, None],
+        s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(blended),
+        s.pcm_buf))
+    restored = _bwhere(rec, saved,
+                       (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc))
+    s = s._replace(fstate=restored[0], sstate=restored[1], cond_a=restored[2],
+                   cond_b=restored[3], lpc=restored[4])
+    qs = jnp.concatenate([s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE],
+                          pcm[:, :FRAME_SIZE - _TO]], axis=1)
+    s = s._replace(
+        queued=jnp.where(rec, True, s.queued),
+        queued_samples=jnp.where(rec[:, None], qs, s.queued_samples))
+
+    # ---- shared buffer re-analysis: continued-loss conceal | recovery -----
+    new_enc, _ = F.compute_single_frame_features(
+        s.enc, s.pcm_buf[:, :FRAME_SIZE])
+    s = s._replace(enc=_bwhere(rec | (L & ~first), new_enc, s.enc))
+
+    # ---- good-frame analysis + steady-state resync ------------------------
+    s, enc_feats = _enc_step_masked(s, pcm, G)
+    inp2 = inp.at[:, 2 * NB_BANDS:2 * NB_BANDS + NB_FEATURES].set(
+        enc_feats[:, :NB_FEATURES])
+    s = _plc_pred_masked(plc_params, s, inp2, gd)
+    s = _fnet_masked(fused, s, enc_feats, gd, cfg)
+    tf_target = jnp.concatenate(
+        [s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE], pcm[:, :_N1]], axis=1)
+    adv160_g = gd[:, None] & jnp.ones((b, FRAME_SIZE), bool)
+    s, _ = _tail_masked(fused, s, tf_target, adv160_g, adv160_g, cfg, kw,
+                        sampled=False)
+
+    # ---- outputs + buffer/count bookkeeping -------------------------------
+    out_u = jnp.concatenate([s.pcm_buf[:, _TO:FRAME_SIZE], pcm[:, :_TO]],
+                            axis=1)
+    new_buf = jnp.where(
+        L[:, None],
+        s.pcm_buf.at[:, :FRAME_SIZE - _TO].set(pcm_c[:, _TO:]),
+        s.pcm_buf.at[:, :FRAME_SIZE].set(pcm_save))
+    s = s._replace(
+        pcm_buf=new_buf,
+        loss_count=jnp.where(L, s.loss_count + 1,
+                             jnp.zeros_like(s.loss_count)))
+    out = jnp.where(L[:, None], pcm_c, out_u)
+    return s, jnp.clip(out, -32768, 32767)
+
+
+def _att_of_pre(lc):
+    """Non-causal energy attenuation (pre-increment loss count,
+    src/lpcnet_plc.c:466), gather-free."""
+    idx = jnp.minimum(lc, 9)
+    table = jnp.asarray(ATT_TABLE)
+    tab_val = jnp.sum(
+        jnp.where(jnp.arange(10)[None] == idx[:, None], table[None], 0.0),
+        axis=1)
+    return jnp.where(lc >= 10, ATT_TABLE[9] - 2.0 * (lc - 9), tab_val)
+
+
+def _enc_step_masked(s: BatchedPLCState, pcm, active):
+    """Encoder feature step with per-stream state masking."""
+    new_enc, feats = F.compute_single_frame_features(s.enc, pcm)
+    return s._replace(enc=_bwhere(active, new_enc, s.enc)), feats
 
 
 def _plc_frame_step_nc(state: BatchedPLCState, fused, plc_params, pcm, lost,
