@@ -22,9 +22,10 @@ predecessors (_plc_frame_step, _plc_frame_step_nc) are kept as the
 bit-exactness reference for tests.
 
 Scope: causal mode with or without blending (LPCNET_PLC_CAUSAL /
-LPCNET_PLC_CODEC) and the non-causal mode; no DC filter, no FEC. The host PLC remains the reference
-for the full option surface. Parity: bit-exact against plc.py when all
-streams share a pattern (test_plc_batched).
+LPCNET_PLC_CODEC) with per-stream FEC queues (fec_add/fec_clear), and the
+non-causal mode; no DC filter. The host PLC remains the reference for the
+full option surface. Parity: 1-LSB against plc.py when all streams share a
+pattern (test_plc_batched).
 """
 
 from __future__ import annotations
@@ -68,6 +69,11 @@ class BatchedPLCState(NamedTuple):
     loss_count: jnp.ndarray     # [B] int32
     queued: jnp.ndarray         # [B] bool (non-causal deferred resync)
     queued_samples: jnp.ndarray  # [B, 160]
+    fec_feats: jnp.ndarray      # [B, FEC_Q, 20] queued FEC features
+    fec_len: jnp.ndarray        # [B] int32 entries in the queue
+    fec_read: jnp.ndarray       # [B] int32 next entry to consume
+    fec_keep: jnp.ndarray       # [B] int32 rewind floor
+    fec_skip: jnp.ndarray       # [B] int32 pending unknown-feature skips
 
 
 def _bwhere(mask, new, old):
@@ -92,7 +98,7 @@ class BatchedPLC:
                  enable_blending: bool = True, non_causal: bool = False,
                  plc_cfg: Optional[PM.PLCConfig] = None,
                  use_kernel: Optional[bool] = None,
-                 fused_step: bool = True):
+                 fused_step: bool = True, fec_q: int = 100):
         """use_kernel routes the sample-rate tails through the fused Pallas
         kernel (kernels.sample_loop) instead of the bit-exact lax.scan path:
         ~10x frame-step throughput at serving batch sizes, at the cost of
@@ -110,6 +116,7 @@ class BatchedPLC:
         self.plc_cfg = plc_cfg or PM.PLCConfig()
         self.delay = cfg.lookahead
         self.plc_buf_size = self.delay * FRAME_SIZE + _TO
+        self.fec_q = fec_q
         if use_kernel is None:
             use_kernel = (batch >= 256
                           and jax.default_backend() not in ("cpu",))
@@ -156,10 +163,32 @@ class BatchedPLC:
             loss_count=jnp.zeros((b,), jnp.int32),
             queued=jnp.zeros((b,), bool),
             queued_samples=jnp.zeros((b, FRAME_SIZE), jnp.float32),
+            fec_feats=jnp.zeros((b, self.fec_q, NB_FEATURES), jnp.float32),
+            fec_len=jnp.zeros((b,), jnp.int32),
+            fec_read=jnp.zeros((b,), jnp.int32),
+            fec_keep=jnp.zeros((b,), jnp.int32),
+            fec_skip=jnp.zeros((b,), jnp.int32),
         )
 
     def reset(self):
         self.state = self.init_state()
+
+    def fec_add(self, features, have=None):
+        """Queue one 10 ms FEC feature frame per stream (the batched
+        lpcnet_plc_fec_add): features [B, >=20]; have [B] bool marks which
+        streams actually received redundancy this slot (False counts an
+        unknown frame, fec_skip semantics). Causal modes only, like the
+        reference."""
+        b = self.batch
+        feats = jnp.asarray(np.asarray(features, np.float32)[:, :NB_FEATURES])
+        have = (jnp.ones((b,), bool) if have is None
+                else jnp.asarray(np.asarray(have).astype(bool)))
+        self.state = jax.jit(_fec_add_op)(self.state, feats, have)
+
+    def fec_clear(self):
+        z = jnp.zeros((self.batch,), jnp.int32)
+        self.state = self.state._replace(
+            fec_len=z, fec_read=z, fec_keep=z, fec_skip=z)
 
     def run(self, pcm: np.ndarray, lost: np.ndarray, chunk: int = 25,
             device_out: bool = False):
@@ -253,6 +282,63 @@ def _tail_masked(fused, s: BatchedPLCState, preload, preload_mask,
             kw, s.sstate, s.cond_a, s.cond_b, s.lpc,
             preload, preload_mask & adv, adv, cfg, sampled=sampled)
     return s._replace(sstate=new_ss), pcm
+
+
+def _fec_or_pred_masked(plc_params, s: BatchedPLCState, active, delay):
+    """Per-stream get_fec_or_pred (src/lpcnet_plc.c:147-166): streams with a
+    queued FEC frame consume it (PLC net updated with the -1-flagged FEC
+    input, features taken from the queue); the rest predict. Returns
+    (state, fec_hit mask). The queue-row read is a one-hot contraction, not
+    a gather (hot loop)."""
+    b = s.features.shape[0]
+    q = s.fec_feats.shape[1]
+    have = (s.fec_read != s.fec_len) & (s.fec_skip == 0)
+    oh = (jnp.arange(q)[None] == s.fec_read[:, None]).astype(jnp.float32)
+    fec_row = jnp.einsum("bq,bqf->bf", oh, s.fec_feats)
+    inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+    inp_f = inp.at[:, 2 * NB_BANDS:2 * NB_BANDS + NB_FEATURES].set(
+        fec_row).at[:, -1].set(-1.0)
+    inp = jnp.where(have[:, None], inp_f, inp)
+    new_net, out = PM.compute_plc_pred(plc_params, s.plc_net, inp)
+    s = s._replace(plc_net=_bwhere(active, new_net, s.plc_net))
+    feats = jnp.where(have[:, None], fec_row, out[:, :NB_FEATURES])
+    s = s._replace(features=jnp.where(active[:, None], feats, s.features))
+    read2 = jnp.where(have, s.fec_read + 1, s.fec_read)
+    keep2 = jnp.where(
+        have, jnp.maximum(jnp.maximum(s.fec_keep, read2 - delay - 1), 0),
+        s.fec_keep)
+    skip2 = jnp.where(~have & (s.fec_skip > 0), s.fec_skip - 1, s.fec_skip)
+    s = s._replace(
+        fec_read=jnp.where(active, read2, s.fec_read),
+        fec_keep=jnp.where(active, keep2, s.fec_keep),
+        fec_skip=jnp.where(active, skip2, s.fec_skip))
+    return s, have & active
+
+
+def _fec_add_op(s: BatchedPLCState, feats, have):
+    """Append one FEC feature frame per stream (lpcnet_plc_fec_add,
+    src/lpcnet_plc.c:111-132): have=False counts an unknown frame
+    (fec_skip++); a full queue compacts away the rewind-protected prefix
+    when possible, else drops the add."""
+    q = s.fec_feats.shape[1]
+    full = s.fec_len == q
+    can_compact = full & (s.fec_keep > 0)
+    drop = full & (s.fec_keep == 0) & have
+    idx = jnp.minimum(jnp.arange(q)[None, :] + s.fec_keep[:, None], q - 1)
+    shifted = jnp.take_along_axis(s.fec_feats, idx[..., None], axis=1)
+    feats_q = jnp.where(can_compact[:, None, None], shifted, s.fec_feats)
+    len2 = jnp.where(can_compact, s.fec_len - s.fec_keep, s.fec_len)
+    read2 = jnp.where(can_compact, s.fec_read - s.fec_keep, s.fec_read)
+    keep2 = jnp.where(can_compact, 0, s.fec_keep)
+    add = have & ~drop
+    slot = jnp.arange(q)[None, :] == len2[:, None]
+    feats_q = jnp.where((add[:, None] & slot)[..., None],
+                        feats[:, None, :], feats_q)
+    return s._replace(
+        fec_feats=feats_q,
+        fec_len=jnp.where(add, len2 + 1, len2),
+        fec_read=read2, fec_keep=keep2,
+        fec_skip=jnp.where(~have, s.fec_skip + 1, s.fec_skip))
 
 
 def _plc_pred_masked(plc_params, s: BatchedPLCState, plc_in, active,
@@ -467,7 +553,6 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
     L = lost
     G = ~lost
     pcm = jnp.asarray(pcm, jnp.float32)
-    zeros_in = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
 
     # ---- update-path frame-level prep (good streams) ----------------------
     burg_feats = burg_cepstral_analysis(pcm)
@@ -496,6 +581,9 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
             s = s._replace(plc_net=_bwhere(
                 bl, jax.tree.map(lambda x: x[delay - 1], s.plc_ring),
                 s.plc_net))
+        # codec mode rewinds the FEC pointer with the frame net
+        s = s._replace(fec_read=jnp.where(
+            bl, jnp.maximum(s.fec_read - delay, s.fec_keep), s.fec_read))
         fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
         s = s._replace(sstate=_bwhere(bl, fresh, s.sstate))
 
@@ -508,7 +596,7 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
         count = jnp.minimum(s.pcm_fill, FRAME_SIZE)
         output = s.pcm_buf[:, :FRAME_SIZE]
         s = _push_plc_ring(s, active)
-        s = _plc_pred_masked(plc_params, s, zeros_in, active)
+        s, _ = _fec_or_pred_masked(plc_params, s, active, delay)
         if k == MAX_DRAIN - 1 and enable_blending:
             saved = (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc)
             fmask = active | bl
@@ -546,8 +634,10 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
                        lpc=restored[4])
 
     # ---- conceal: feature prediction + attenuation for the lost frame -----
-    s = _plc_pred_masked(plc_params, s, zeros_in, L)
-    lc = s.loss_count + 1
+    # (a queued FEC frame substitutes for the prediction and resets the
+    # loss count, src/lpcnet_plc.c:307-316)
+    s, fec_hit = _fec_or_pred_masked(plc_params, s, L, delay)
+    lc = jnp.where(fec_hit, 0, s.loss_count + 1)
     att = _att_of(lc)
     s = s._replace(
         features=jnp.where(L[:, None], s.features.at[:, 0].set(
@@ -592,7 +682,18 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
     inp2 = inp2.at[:, 2 * NB_BANDS:2 * NB_BANDS + NB_FEATURES].set(
         enc_feats[:, :NB_FEATURES])
     inp2 = inp2.at[:, -1].set(1.0)
-    s = _plc_pred_masked(plc_params, s, inp2, G & ~blend_old)
+    nb_mask = G & ~blend_old
+    s = _plc_pred_masked(plc_params, s, inp2, nb_mask)
+    # good frames advance the FEC pointer past this packet's slot
+    # (src/lpcnet_plc.c:232-239)
+    adv_skip = nb_mask & (s.fec_skip > 0)
+    adv_read = nb_mask & ~adv_skip & (s.fec_read < s.fec_len)
+    read2 = jnp.where(adv_read, s.fec_read + 1, s.fec_read)
+    s = s._replace(
+        fec_read=read2,
+        fec_keep=jnp.where(nb_mask, jnp.maximum(
+            jnp.maximum(s.fec_keep, read2 - delay - 1), 0), s.fec_keep),
+        fec_skip=jnp.where(adv_skip, s.fec_skip - 1, s.fec_skip))
 
     steady = G & ~skip
     s = _push_feat_ring(s, enc_feats,

@@ -129,3 +129,67 @@ def test_batched_no_loss_is_passthrough_shape():
     assert out.shape == (batch, n_frames * 160)
     # with no losses the causal PLC passes audio through unmodified
     np.testing.assert_allclose(out, np.clip(pcm, -32768, 32767), atol=1e-3)
+
+
+def _true_features_1(pcm_1d):
+    from lpcnet_tpu.codec import features as F
+    import jax.numpy as jnp
+    st = F.init_encoder_state(1)
+    rows = []
+    for k in range(len(pcm_1d) // 160):
+        st, f = F.compute_single_frame_features(
+            st, jnp.asarray(pcm_1d[None, k * 160:(k + 1) * 160]))
+        rows.append(np.asarray(f)[0])
+    return np.stack(rows)
+
+
+def test_batched_fec_matches_host():
+    """Causal FEC queues: all streams share one pattern and one redundancy
+    feed -> must track the host PLC's fec_add/get_fec_or_pred behavior."""
+    batch, n_frames = 2, 12
+    host, batched = _make_pair(batch)
+    pcm = _speech(n_frames, batch)
+    feats = _true_features_1(pcm[0])[:, :20]
+    loss_pattern = [0, 1, 1, 0, 0, 0]
+    for k in range(n_frames):
+        if k % 2 == 0:
+            pkt = k // 2
+            for row in feats[2 * pkt:2 * pkt + 2]:
+                host.fec_add(row[None])
+                batched.fec_add(np.tile(row[None], (batch, 1)))
+        lost = loss_pattern[k // 2]
+        frame = pcm[:, k * 160:(k + 1) * 160]
+        ref = host.conceal() if lost else host.update(frame)
+        out = batched.step(frame, np.full(batch, lost))
+        d = np.abs(out - ref)
+        assert d.max() <= 1.0, f"frame {k}: max {d.max()}"
+        assert (d > 1e-3).mean() < 0.02, f"frame {k}: too many rounding diffs"
+    # FEC covered every lost frame -> loss counter never latched
+    assert np.all(np.asarray(batched.state.loss_count) == 0)
+    assert host.loss_count == 0
+
+
+def test_batched_fec_per_stream_independence():
+    """Stream 0 receives redundancy, stream 1 does not; stream 1's output
+    must be identical to a run with no FEC anywhere."""
+    batch, n_frames = 2, 10
+    _, with_fec = _make_pair(batch)
+    _, no_fec = _make_pair(batch)
+    pcm = _speech(n_frames, batch)
+    feats = _true_features_1(pcm[0])[:, :20]
+    loss_pattern = [0, 1, 1, 0, 0]
+    outs_f, outs_n = [], []
+    for k in range(n_frames):
+        if k % 2 == 0:
+            pkt = k // 2
+            for row in feats[2 * pkt:2 * pkt + 2]:
+                with_fec.fec_add(np.tile(row[None], (batch, 1)),
+                                 have=np.array([True, False]))
+        lost = np.full(batch, loss_pattern[k // 2])
+        frame = pcm[:, k * 160:(k + 1) * 160]
+        outs_f.append(with_fec.step(frame, lost))
+        outs_n.append(no_fec.step(frame, lost))
+    of = np.stack(outs_f, 1)
+    on = np.stack(outs_n, 1)
+    np.testing.assert_array_equal(of[1], on[1])
+    assert np.abs(of[0] - on[0]).max() > 1.0  # FEC changed stream 0
