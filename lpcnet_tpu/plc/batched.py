@@ -173,17 +173,24 @@ class BatchedPLC:
     def reset(self):
         self.state = self.init_state()
 
-    def fec_add(self, features, have=None):
+    def fec_add(self, features, have=None, unknown=None):
         """Queue one 10 ms FEC feature frame per stream (the batched
         lpcnet_plc_fec_add): features [B, >=20]; have [B] bool marks which
-        streams actually received redundancy this slot (False counts an
-        unknown frame, fec_skip semantics). Causal modes only, like the
-        reference."""
+        streams actually received redundancy this slot. Streams with
+        have=False count an unknown frame (fec_skip semantics, the C's
+        NULL call) unless `unknown` narrows that set -- pass
+        unknown=np.zeros(B, bool) to make non-have streams a no-op (pool
+        serving, where absent streams should not consume a time slot).
+        Causal modes only, like the reference."""
         b = self.batch
         feats = jnp.asarray(np.asarray(features, np.float32)[:, :NB_FEATURES])
         have = (jnp.ones((b,), bool) if have is None
                 else jnp.asarray(np.asarray(have).astype(bool)))
-        self.state = jax.jit(_fec_add_op)(self.state, feats, have)
+        unknown = (~have if unknown is None
+                   else jnp.asarray(np.asarray(unknown).astype(bool)))
+        self._fec_add_jit = getattr(self, "_fec_add_jit", None) or \
+            jax.jit(_fec_add_op)
+        self.state = self._fec_add_jit(self.state, feats, have, unknown)
 
     def fec_clear(self):
         z = jnp.zeros((self.batch,), jnp.int32)
@@ -315,14 +322,15 @@ def _fec_or_pred_masked(plc_params, s: BatchedPLCState, active, delay):
     return s, have & active
 
 
-def _fec_add_op(s: BatchedPLCState, feats, have):
+def _fec_add_op(s: BatchedPLCState, feats, have, unknown):
     """Append one FEC feature frame per stream (lpcnet_plc_fec_add,
-    src/lpcnet_plc.c:111-132): have=False counts an unknown frame
-    (fec_skip++); a full queue compacts away the rewind-protected prefix
-    when possible, else drops the add."""
+    src/lpcnet_plc.c:111-132): `have` streams append, `unknown` streams
+    count an unknown frame (fec_skip++, the C's features==NULL call),
+    neither -> no-op. A full queue compacts away the rewind-protected
+    prefix when possible, else drops the add."""
     q = s.fec_feats.shape[1]
     full = s.fec_len == q
-    can_compact = full & (s.fec_keep > 0)
+    can_compact = have & full & (s.fec_keep > 0)
     drop = full & (s.fec_keep == 0) & have
     idx = jnp.minimum(jnp.arange(q)[None, :] + s.fec_keep[:, None], q - 1)
     shifted = jnp.take_along_axis(s.fec_feats, idx[..., None], axis=1)
@@ -338,7 +346,7 @@ def _fec_add_op(s: BatchedPLCState, feats, have):
         fec_feats=feats_q,
         fec_len=jnp.where(add, len2 + 1, len2),
         fec_read=read2, fec_keep=keep2,
-        fec_skip=jnp.where(~have, s.fec_skip + 1, s.fec_skip))
+        fec_skip=jnp.where(unknown, s.fec_skip + 1, s.fec_skip))
 
 
 def _plc_pred_masked(plc_params, s: BatchedPLCState, plc_in, active,

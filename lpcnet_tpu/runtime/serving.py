@@ -135,11 +135,28 @@ class PLCStreamPool:
         fresh = self._init_slot_state
 
         def put(cur, ini):
-            if cur.ndim >= 2 and cur.shape[1] == self.capacity:  # ring [R,B,..]
-                return cur.at[:, slot].set(ini[:, slot])
-            return cur.at[slot].set(ini[slot])
+            if cur.shape[0] == self.capacity:       # leading-batch [B, ...]
+                return cur.at[slot].set(ini[slot])
+            return cur.at[:, slot].set(ini[:, slot])  # ring [R, B, ...]
 
         self.plc.state = jax.tree.map(put, self.plc.state, fresh)
+
+    def fec_add(self, feats: Dict[str, "np.ndarray | None"]) -> None:
+        """Queue one 10 ms redundancy feature frame per stream:
+        feats[sid] = [>=20] feature row (e.g. DRED-decoded), or None to mark
+        a known-missing slot (keeps the stream's FEC queue time-aligned).
+        Streams absent from the dict are untouched."""
+        f = np.zeros((self.capacity, 20), np.float32)
+        have = np.zeros(self.capacity, bool)
+        unknown = np.zeros(self.capacity, bool)
+        for sid, row in feats.items():
+            slot = self.attach(sid)
+            if row is None:
+                unknown[slot] = True
+            else:
+                f[slot] = np.asarray(row, np.float32)[:20]
+                have[slot] = True
+        self.plc.fec_add(f, have=have, unknown=unknown)
 
     def step(self, frames: Dict[str, np.ndarray | None]) -> Dict[str, np.ndarray]:
         """frames[sid] = [160] pcm, or None for a lost frame."""

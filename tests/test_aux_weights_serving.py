@@ -87,3 +87,33 @@ def test_plc_stream_pool():
     pool.detach("b")
     out = pool.step({"a": frame})
     assert set(out) == {"a", "c"}
+
+
+def test_plc_stream_pool_fec():
+    """Pool-level FEC: redundancy queued for one stream is consumed during
+    its losses (loss counter stays clear) and leaves other streams alone."""
+    from lpcnet_tpu.models import lpcnet as M
+    from lpcnet_tpu.models import plc as PM
+    from lpcnet_tpu.runtime.serving import PLCStreamPool
+    cfg = M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=16,
+                         pitch_embed_dim=8)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+    pool = PLCStreamPool(fused, cfg, plc_params, capacity=4)
+    rng = np.random.RandomState(0)
+    frame = (rng.randn(160) * 1000).astype(np.float32)
+    feat = (rng.randn(20) * 0.3).astype(np.float32)
+    for k in range(6):
+        pool.fec_add({"a": feat, "b": None})
+        out = pool.step({
+            "a": None if k >= 2 else frame,   # a: losses covered by FEC
+            "b": None if k >= 2 else frame,   # b: uncovered losses
+        })
+    assert all(np.isfinite(v).all() for v in out.values())
+    lc = np.asarray(pool.plc.state.loss_count)
+    sa, sb = pool.slot_of["a"], pool.slot_of["b"]
+    assert lc[sa] == 0          # FEC hits reset the loss counter
+    assert lc[sb] == 4          # no redundancy -> counter latched
+    skip = np.asarray(pool.plc.state.fec_skip)
+    assert skip[sb] >= 0 and np.asarray(pool.plc.state.fec_len)[sb] == 0
