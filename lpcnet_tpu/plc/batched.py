@@ -22,10 +22,11 @@ predecessors (_plc_frame_step, _plc_frame_step_nc) are kept as the
 bit-exactness reference for tests.
 
 Scope: causal mode with or without blending (LPCNET_PLC_CAUSAL /
-LPCNET_PLC_CODEC) with per-stream FEC queues (fec_add/fec_clear), and the
-non-causal mode; no DC filter. The host PLC remains the reference for the
-full option surface. Parity: 1-LSB against plc.py when all streams share a
-pattern (test_plc_batched).
+LPCNET_PLC_CODEC) with per-stream FEC queues (fec_add/fec_clear) and the
+DC filter (remove_dc, closed-form triangular-matmul recurrence), and the
+non-causal mode (no DC there -- use the host PLC for non-causal _dc). The
+host PLC remains the reference for the full option surface. Parity: 1-LSB
+against plc.py when all streams share a pattern (test_plc_batched).
 """
 
 from __future__ import annotations
@@ -40,9 +41,10 @@ import jax.numpy as jnp
 from ..codec import features as F
 from ..dsp.burg import burg_cepstral_analysis
 from ..dsp.constants import FRAME_SIZE, NB_BANDS, NB_FEATURES, TRAINING_OFFSET
+from ..dsp.precision import F32_PRECISION
 from ..models import lpcnet as M
 from ..models import plc as PM
-from .plc import ATT_TABLE
+from .plc import ATT_TABLE, DC_CONST
 
 _TO = TRAINING_OFFSET                       # 80
 _N1 = FRAME_SIZE - TRAINING_OFFSET          # 80
@@ -74,6 +76,8 @@ class BatchedPLCState(NamedTuple):
     fec_read: jnp.ndarray       # [B] int32 next entry to consume
     fec_keep: jnp.ndarray       # [B] int32 rewind floor
     fec_skip: jnp.ndarray       # [B] int32 pending unknown-feature skips
+    dc_mem: jnp.ndarray         # [B] DC tracker (remove_dc mode)
+    syn_dc: jnp.ndarray         # [B] synthesis-side DC tracker
 
 
 def _bwhere(mask, new, old):
@@ -98,7 +102,8 @@ class BatchedPLC:
                  enable_blending: bool = True, non_causal: bool = False,
                  plc_cfg: Optional[PM.PLCConfig] = None,
                  use_kernel: Optional[bool] = None,
-                 fused_step: bool = True, fec_q: int = 100):
+                 fused_step: bool = True, fec_q: int = 100,
+                 remove_dc: bool = False):
         """use_kernel routes the sample-rate tails through the fused Pallas
         kernel (kernels.sample_loop) instead of the bit-exact lax.scan path:
         ~10x frame-step throughput at serving batch sizes, at the cost of
@@ -128,9 +133,18 @@ class BatchedPLC:
             self.kw = None
         self.state = self.init_state()
         delay, buf_size = self.delay, self.plc_buf_size
+        if remove_dc and (non_causal or not fused_step):
+            raise ValueError("batched remove_dc: causal fused step only "
+                             "(use the host PLC for the _dc non-causal mode)")
+        self.remove_dc = remove_dc
         if fused_step:
-            step_fn = (_plc_frame_step_nc_fused if non_causal
-                       else _plc_frame_step_fused)
+            if non_causal:
+                step_fn = _plc_frame_step_nc_fused
+            else:
+                def step_fn(st, fw, pp, pcm, lost, cfg_, eb, dl, bs, kw=None,
+                            _rd=remove_dc):
+                    return _plc_frame_step_fused(st, fw, pp, pcm, lost, cfg_,
+                                                 eb, dl, bs, kw, remove_dc=_rd)
         else:
             step_fn = _plc_frame_step_nc if non_causal else _plc_frame_step
         self._step_fn = step_fn
@@ -168,6 +182,8 @@ class BatchedPLC:
             fec_read=jnp.zeros((b,), jnp.int32),
             fec_keep=jnp.zeros((b,), jnp.int32),
             fec_skip=jnp.zeros((b,), jnp.int32),
+            dc_mem=jnp.zeros((b,), jnp.float32),
+            syn_dc=jnp.zeros((b,), jnp.float32),
         )
 
     def reset(self):
@@ -521,6 +537,38 @@ def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
     return s, jnp.clip(pcm, -32768, 32767)
 
 
+_DC_POWS = np.power(1.0 - DC_CONST, np.arange(FRAME_SIZE + 1))
+# M[i, j] = c*(1-c)^(i-1-j) for j < i: dc_i = (1-c)^i dc_0 + (pcm @ M.T)_i
+_DC_MAT = np.tril(
+    DC_CONST * np.power(
+        1.0 - DC_CONST,
+        np.maximum(np.arange(FRAME_SIZE)[:, None]
+                   - np.arange(FRAME_SIZE)[None, :] - 1, 0)), -1
+).astype(np.float32)
+_DC_TAIL = (DC_CONST * np.power(1.0 - DC_CONST,
+                                FRAME_SIZE - 1 - np.arange(FRAME_SIZE))
+            ).astype(np.float32)
+
+
+def _dc_path(dc0, pcm):
+    """The C's per-sample DC tracker (lp[i] = floor(0.5+dc); dc += c*(pcm[i]
+    - dc), src/lpcnet_plc.c:195-204) in closed form: the linear recurrence
+    becomes one [B, 160] x [160, 160] lower-triangular matmul (TPU-idiomatic
+    -- no sequential scalar loop). Returns (lp [B, 160], dc after 160)."""
+    dc = (dc0[:, None] * jnp.asarray(_DC_POWS[:FRAME_SIZE], jnp.float32)[None]
+          + jnp.matmul(pcm, jnp.asarray(_DC_MAT).T, precision=F32_PRECISION))
+    lp = jnp.floor(0.5 + dc)
+    dc_end = (dc0 * np.float32(_DC_POWS[FRAME_SIZE])
+              + jnp.matmul(pcm, jnp.asarray(_DC_TAIL), precision=F32_PRECISION))
+    return lp, dc_end
+
+
+def _syn_dc_step(syn0, pcm):
+    """syn_dc += c*(pcm[i]-syn_dc) over a frame, closed form."""
+    return (syn0 * np.float32(_DC_POWS[FRAME_SIZE])
+            + jnp.matmul(pcm, jnp.asarray(_DC_TAIL), precision=F32_PRECISION))
+
+
 def _att_of(lc):
     """Energy attenuation for loss_count lc (gather-free ATT_TABLE lookup)."""
     idx = jnp.minimum(lc, 9)
@@ -533,7 +581,7 @@ def _att_of(lc):
 
 def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
                           lost, cfg, enable_blending, delay, plc_buf_size,
-                          kw=None):
+                          kw=None, remove_dc=False):
     """Causal PLC step as ONE interleaved program over a single state.
 
     _plc_frame_step evaluates the conceal and update paths on separate state
@@ -561,6 +609,16 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
     L = lost
     G = ~lost
     pcm = jnp.asarray(pcm, jnp.float32)
+
+    # ---- DC removal on incoming audio (good streams; the _dc variants,
+    # src/lpcnet_plc.c:183,195-204): internal processing runs DC-free,
+    # the returned audio gets the tracked offset added back ----------------
+    if remove_dc:
+        delta = jnp.trunc(s.syn_dc)
+        lp, dcm_end = _dc_path(s.dc_mem + s.syn_dc, pcm)
+        pcm = jnp.where(G[:, None], pcm - lp, pcm)
+        s = s._replace(dc_mem=jnp.where(G, dcm_end, s.dc_mem),
+                       syn_dc=jnp.where(G, 0.0, s.syn_dc))
 
     # ---- update-path frame-level prep (good streams) ----------------------
     burg_feats = burg_cepstral_analysis(pcm)
@@ -631,8 +689,11 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
 
     if enable_blending:
         # update path: cross-fade the model's continuation into real audio
+        # (in remove_dc mode the model output carries the residual synthesis
+        # DC, subtracted as the truncated delta, src/lpcnet_plc.c:224-231)
         w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_N1) / _N1)
-        blended = jnp.floor(0.5 + w * pcm[:, :_N1] + (1 - w) * k2)
+        k2d = k2 - delta[:, None] if remove_dc else k2
+        blended = jnp.floor(0.5 + w * pcm[:, :_N1] + (1 - w) * k2d)
         pcm = pcm.at[:, :_N1].set(jnp.where(bl[:, None], blended,
                                             pcm[:, :_N1]))
         restored = _bwhere(bl, saved,
@@ -716,7 +777,16 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
         loss_count=jnp.where(G, 0, s.loss_count),
         blend=jnp.where(L, True, jnp.zeros_like(s.blend)))
 
-    out = jnp.where(L[:, None], pcm_c, pcm)
+    if remove_dc:
+        # conceal tracks the synthesized signal's DC and re-offsets its
+        # output; update re-adds the removed input DC (src/lpcnet_plc.c:
+        # 263-266, 234-235)
+        s = s._replace(syn_dc=jnp.where(
+            L, _syn_dc_step(s.syn_dc, pcm_c), s.syn_dc))
+        out = jnp.where(L[:, None],
+                        pcm_c + jnp.floor(0.5 + s.dc_mem)[:, None], pcm + lp)
+    else:
+        out = jnp.where(L[:, None], pcm_c, pcm)
     return s, jnp.clip(out, -32768, 32767)
 
 

@@ -193,3 +193,36 @@ def test_batched_fec_per_stream_independence():
     on = np.stack(outs_n, 1)
     np.testing.assert_array_equal(of[1], on[1])
     assert np.abs(of[0] - on[0]).max() > 1.0  # FEC changed stream 0
+
+
+def test_batched_dc_filter_matches_host():
+    """Causal +DC mode: the batched closed-form DC recurrences (triangular
+    matmuls) vs the host's sequential f64 loops, on a signal with a real DC
+    offset."""
+    from lpcnet_tpu.plc.plc import LPCNET_PLC_DC_FILTER
+    batch, n_frames = 2, 14
+    lookahead = 2
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
+                         lookahead=lookahead)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+    host = PLC(fused, cfg, plc_params,
+               options=LPCNET_PLC_CAUSAL | LPCNET_PLC_DC_FILTER, batch=batch)
+    batched = BatchedPLC(fused, cfg, plc_params, batch=batch, remove_dc=True)
+    pcm = _speech(n_frames, batch) + 300.0      # constant DC offset
+    lost_per_frame = np.array([0, 0, 0, 1, 1, 0, 0, 1, 1, 1, 1, 0, 0, 0])
+    for k in range(n_frames):
+        frame = pcm[:, k * 160:(k + 1) * 160]
+        ref = host.conceal() if lost_per_frame[k] else host.update(frame)
+        out = batched.step(frame, np.full(batch, lost_per_frame[k]))
+        d = np.abs(out - ref)
+        assert d.max() <= 2.0, f"frame {k}: max {d.max()}"
+        assert (d > 1e-3).mean() < 0.05, f"frame {k}: too many diffs"
+    # with no losses the tracker locks onto the input offset (the mixed run
+    # above legitimately wanders: conceal injects the random-weight model's
+    # own synthesis DC through syn_dc)
+    clean = BatchedPLC(fused, cfg, plc_params, batch=batch, remove_dc=True)
+    for k in range(8):
+        clean.step(pcm[:, k * 160:(k + 1) * 160], np.zeros(batch))
+    assert abs(float(np.asarray(clean.state.dc_mem)[0]) - 300.0) < 100.0

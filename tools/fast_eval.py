@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Fast analysis/synthesis eval: band log-spectral distance, batched.
+
+Splits the clip into segments and runs them as one stream batch (each
+segment warm-starts from silence; the edge effect is identical across
+models being compared), so the whole eval is ~2 orders of magnitude fewer
+device dispatches than tools/eval_demo.py's per-frame single-stream loop --
+the difference matters through a remote-dispatch transport.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def band_lsd(a, b):
+    import jax.numpy as jnp
+    from lpcnet_tpu.dsp import spectrum
+    n = min(len(a), len(b)) // 320 * 320
+    wa = a[:n].reshape(-1, 320).astype(np.float32)
+    wb = b[:n].reshape(-1, 320).astype(np.float32)
+    ea = np.asarray(spectrum.compute_band_energy(
+        spectrum.forward_transform(spectrum.apply_window(jnp.asarray(wa)))))
+    eb = np.asarray(spectrum.compute_band_energy(
+        spectrum.forward_transform(spectrum.apply_window(jnp.asarray(wb)))))
+    return float(np.mean(np.abs(10 * np.log10(ea + 1e-2)
+                                - 10 * np.log10(eb + 1e-2))))
+
+
+def eval_model(model_path, pcm, segments=8):
+    import jax
+    import jax.numpy as jnp
+    from lpcnet_tpu.codec import features as F
+    from lpcnet_tpu.models import lpcnet as M
+    from lpcnet_tpu.weights.checkpoint import load_checkpoint
+
+    params, cfg = load_checkpoint(model_path)
+    fused = M.fuse_inference_params(params, cfg)
+    n = len(pcm) // (segments * 160) * segments * 160
+    seg = np.asarray(pcm[:n], np.float32).reshape(segments, -1)
+    frames = seg.reshape(segments, -1, 160)
+    t = frames.shape[1]
+
+    enc = F.init_encoder_state(segments)
+    fstate = M.init_frame_state(segments, cfg)
+    sstate = M.init_sample_state(segments, cfg)
+
+    @jax.jit
+    def step(enc, fstate, sstate, fused, pcm_frame):
+        enc, feats = F.compute_single_frame_features(enc, pcm_frame)
+        fstate, _, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+        sstate, out = M.synthesize_frame(fused, sstate, ca, cb, lpc)
+        return enc, fstate, sstate, out
+
+    outs = []
+    for k in range(t):
+        enc, fstate, sstate, out = step(enc, fstate, sstate, fused,
+                                        jnp.asarray(frames[:, k]))
+        outs.append(out)
+    np.asarray(outs[-1][0, :4])
+    synth = np.stack([np.asarray(o) for o in outs], axis=1)  # [S, T, 160]
+    # features lead synthesis by lookahead frames; compare aligned region
+    la = cfg.lookahead * 160
+    orig = seg[:, :]
+    syn = synth.reshape(segments, -1)
+    if la:
+        orig, syn = orig[:, :-la], syn[:, la:]
+    return np.mean([band_lsd(orig[s], syn[s]) for s in range(segments)])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--audio", required=True)
+    ap.add_argument("--seconds", type=float, default=8.0)
+    args = ap.parse_args()
+    pcm = np.fromfile(args.audio, np.int16)[: int(args.seconds * 16000)]
+    lsd = eval_model(args.model, pcm)
+    print(f"{args.model}: band-LSD {lsd:.3f} dB")
+
+
+if __name__ == "__main__":
+    main()
