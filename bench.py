@@ -178,8 +178,8 @@ def main():
     try:
         sps = bench_synthesis(batch, n_frames, kernel=kernel)
     except Exception as e:
-        if kernel == "pallas":
-            print(f"pallas path failed ({type(e).__name__}); falling back to scan",
+        if kernel in ("pallas", "q8"):
+            print(f"{kernel} path failed ({type(e).__name__}); falling back to scan",
                   file=sys.stderr)
             kernel = "scan"
             sps = bench_synthesis(batch, n_frames, kernel=kernel)

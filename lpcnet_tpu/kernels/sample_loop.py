@@ -32,6 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..dsp.constants import LPC_ORDER, PREEMPHASIS
 from ..models.lpcnet import LPCNetConfig, SampleState, _logit_table
+from ..nn.quantized import SCALE_1 as _SCALE_Q
+from ..nn.quantized import quantize_act_int8 as _quant_act
 from ..utils.rng import Kiss99State
 
 LOG256 = 5.5451774445
@@ -207,15 +209,6 @@ _WNAMES_F32 = ("emb_cat", "a_rec", "a_bias1", "b_in", "b_rec", "b_bias1",
 _WNAMES_Q8 = ("emb_q8", "emb_scale", "a_rec_q8", "a_diag", "a_bias1",
               "b_in_q8", "b_rec", "b_bias1",
               "dual_w", "dual_bias", "dual_factor", "logit_table")
-
-_SCALE_Q = 1.0 / (128.0 * 127.0)      # DOT_PROD rescale (nn.quantized)
-
-
-def _quant_act(h):
-    """floor(0.5 + 127*h) -> int8, the C's round-half-up activation
-    quantizer (src/vec.h:243, nn.quantized.quantize_act_int8)."""
-    return jnp.clip(jnp.floor(0.5 + 127.0 * h), -128, 127).astype(jnp.int8)
-
 
 def _gru_ab(q8, na, nb, W, conda, condb, sig_u, pred_u, exc_u, h_a0, h_b0):
     """One GRU-A + GRU-B step on a batch tile; the numeric core shared by
@@ -611,8 +604,9 @@ def synthesize_frame_masked_pallas(kw, state: SampleState, cond_a, cond_b,
     """
     b = cond_a.shape[0]
     # the masked kernel carries extra VMEM blocks (preload/mode/pcm are all
-    # [n_samples, BT]); the 256 tile is the safe/fast point here
-    bt = bt or min(_pick_bt(b), 256)
+    # [n_samples, BT]); the 256 tile is the safe/fast default, but an
+    # explicit LPCNET_KERNEL_BT pin is honored (not silently clamped)
+    bt = bt or (int(_BT_ENV) if _BT_ENV else min(_pick_bt(b), 256))
     mode = (jnp.asarray(advance_mask, bool).astype(jnp.int32)
             | (jnp.asarray(preload_mask, bool).astype(jnp.int32) << 1))
     preload_t = jnp.asarray(preload, jnp.float32).T      # [n, B]

@@ -137,6 +137,7 @@ class BatchedPLC:
             raise ValueError("batched remove_dc: causal fused step only "
                              "(use the host PLC for the _dc non-causal mode)")
         self.remove_dc = remove_dc
+        self.fused_step = fused_step
         if fused_step:
             if non_causal:
                 step_fn = _plc_frame_step_nc_fused
@@ -198,6 +199,9 @@ class BatchedPLC:
         unknown=np.zeros(B, bool) to make non-have streams a no-op (pool
         serving, where absent streams should not consume a time slot).
         Causal modes only, like the reference."""
+        if self.non_causal or not self.fused_step:
+            raise ValueError("FEC queues: causal fused step only (the "
+                             "reference's non-causal PLC has no FEC either)")
         b = self.batch
         feats = jnp.asarray(np.asarray(features, np.float32)[:, :NB_FEATURES])
         have = (jnp.ones((b,), bool) if have is None
@@ -951,7 +955,8 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
     s = _plc_pred_masked(plc_params, s, inp_sel, L | rec)
 
     # conceal: energy attenuation with the PRE-increment loss count
-    att = _att_of_pre(s.loss_count)
+    # (src/lpcnet_plc.c:466 vs :494)
+    att = _att_of(s.loss_count)
     s = s._replace(features=jnp.where(
         L[:, None],
         s.features.at[:, 0].set(jnp.maximum(-10.0, s.features[:, 0] + att)),
@@ -1036,17 +1041,6 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
                              jnp.zeros_like(s.loss_count)))
     out = jnp.where(L[:, None], pcm_c, out_u)
     return s, jnp.clip(out, -32768, 32767)
-
-
-def _att_of_pre(lc):
-    """Non-causal energy attenuation (pre-increment loss count,
-    src/lpcnet_plc.c:466), gather-free."""
-    idx = jnp.minimum(lc, 9)
-    table = jnp.asarray(ATT_TABLE)
-    tab_val = jnp.sum(
-        jnp.where(jnp.arange(10)[None] == idx[:, None], table[None], 0.0),
-        axis=1)
-    return jnp.where(lc >= 10, ATT_TABLE[9] - 2.0 * (lc - 9), tab_val)
 
 
 def _enc_step_masked(s: BatchedPLCState, pcm, active):

@@ -134,12 +134,22 @@ class PLCStreamPool:
             self._init_slot_state = self.plc.init_state()
         fresh = self._init_slot_state
 
-        def put(cur, ini):
-            if cur.shape[0] == self.capacity:       # leading-batch [B, ...]
-                return cur.at[slot].set(ini[slot])
-            return cur.at[:, slot].set(ini[:, slot])  # ring [R, B, ...]
+        def put_batch(cur, ini):                    # leading-batch [B, ...]
+            return cur.at[slot].set(ini[slot])
 
-        self.plc.state = jax.tree.map(put, self.plc.state, fresh)
+        def put_ring(cur, ini):                     # ring [R, B, ...]
+            return cur.at[:, slot].set(ini[:, slot])
+
+        # select by field, not by shape: plc_ring is the only [R, B, ...]
+        # subtree (a shape heuristic breaks when capacity collides with
+        # another axis, e.g. capacity == lookahead+1 or == feat-ring depth)
+        st = self.plc.state
+        new = {
+            k: jax.tree.map(put_ring if k == "plc_ring" else put_batch,
+                            getattr(st, k), getattr(fresh, k))
+            for k in st._fields
+        }
+        self.plc.state = type(st)(**new)
 
     def fec_add(self, feats: Dict[str, "np.ndarray | None"]) -> None:
         """Queue one 10 ms redundancy feature frame per stream:

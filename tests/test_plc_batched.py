@@ -226,3 +226,33 @@ def test_batched_dc_filter_matches_host():
     for k in range(8):
         clean.step(pcm[:, k * 160:(k + 1) * 160], np.zeros(batch))
     assert abs(float(np.asarray(clean.state.dc_mem)[0]) - 300.0) < 100.0
+
+
+@pytest.mark.parametrize("non_causal", [False, True])
+def test_fused_step_matches_two_path(non_causal):
+    """The single-state interleaved step vs its evaluate-both-and-merge
+    predecessor: same sub-ops in the same per-stream order, so outputs must
+    agree essentially exactly (tiny tolerance for XLA fusion reassociation
+    between the two differently-shaped graphs)."""
+    batch, n_frames = 2, 10
+    lookahead = 0 if non_causal else 2
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
+                         lookahead=lookahead)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+    a = BatchedPLC(fused, cfg, plc_params, batch=batch,
+                   non_causal=non_causal, fused_step=True)
+    b = BatchedPLC(fused, cfg, plc_params, batch=batch,
+                   non_causal=non_causal, fused_step=False)
+    pcm = _speech(n_frames, batch)
+    rng = np.random.RandomState(3)
+    lost_per_frame = np.repeat(rng.rand(n_frames // 2 + 1) < 0.4, 2)
+    for k in range(n_frames):
+        frame = pcm[:, k * 160:(k + 1) * 160]
+        lost = np.array([lost_per_frame[k], lost_per_frame[k + 1]])
+        oa = a.step(frame, lost)
+        ob = b.step(frame, lost)
+        d = np.abs(oa - ob)
+        assert d.max() <= 1.0, f"frame {k}: max {d.max()}"
+        assert (d > 1e-3).mean() < 0.01, f"frame {k}"

@@ -41,6 +41,10 @@ def eval_model(model_path, pcm, segments=8):
     params, cfg = load_checkpoint(model_path)
     fused = M.fuse_inference_params(params, cfg)
     n = len(pcm) // (segments * 160) * segments * 160
+    if n == 0:
+        raise ValueError(
+            f"audio too short: need >= {segments * 160} samples "
+            f"({segments} segments x 10 ms), got {len(pcm)}")
     seg = np.asarray(pcm[:n], np.float32).reshape(segments, -1)
     frames = seg.reshape(segments, -1, 160)
     t = frames.shape[1]
