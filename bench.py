@@ -144,6 +144,42 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
     return batch * n_frames * 160 / dt
 
 
+def bench_dred(batch: int, n_dframes: int, warmup: int = 4):
+    """DRED redundancy coder throughput: per 20 ms, one encoder dframe
+    (dred_rdovae_encode_dframe) AND one decoder qframe (decode_qframe) per
+    stream -- the full send+receive neural cost of the redundancy loop.
+    Returns audio samples/s covered (320 samples per dframe per stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu.models import rdovae as RV
+
+    cfg = RV.RDOVAEConfig()
+    params = RV.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    feats2 = jnp.asarray(rng.randn(batch, 2 * cfg.num_features
+                                   ).astype(np.float32) * 0.3)
+
+    @jax.jit
+    def step(params, est, dst, f2):
+        est, z, ini = RV.encode_dframe(params, est, f2, cfg)
+        dst, feats = RV.decode_qframe(params, dst, z, cfg)
+        return est, dst, z, feats
+
+    est = RV.init_encoder_stream(batch, cfg)
+    dst = RV.init_decoder_stream(params, jnp.zeros((batch, cfg.state_dim)),
+                                 cfg)
+    for _ in range(warmup):
+        est, dst, z, feats = step(params, est, dst, feats2)
+    np.asarray(feats[0, 0, :4])
+    t0 = time.perf_counter()
+    for _ in range(n_dframes):
+        est, dst, z, feats = step(params, est, dst, feats2)
+    np.asarray(feats[0, 0, :4])   # hard sync
+    dt = time.perf_counter() - t0
+    return batch * n_dframes * 320 / dt
+
+
 def main():
     # default = the flagship throughput config (1024 concurrent synthesis
     # streams, each still >1x real-time); override via env for other points
@@ -159,6 +195,17 @@ def main():
         sfx = "_nc" if os.environ.get("LPCNET_BENCH_NC") else ""
         print(json.dumps({
             "metric": f"plc_mixed_loss_samples_per_sec_chip_b{batch}{sfx}",
+            "value": round(sps, 1), "unit": "samples/s",
+            "vs_baseline": round(sps / baseline, 4),
+            "per_stream_rtf": round(sps / batch / 16000.0, 4),
+            "streams": batch,
+        }))
+        return
+    if mode == "dred":
+        sps = bench_dred(batch, max(n_frames, 25))
+        baseline = 256 * 16000.0
+        print(json.dumps({
+            "metric": f"dred_encdec_samples_per_sec_chip_b{batch}",
             "value": round(sps, 1), "unit": "samples/s",
             "vs_baseline": round(sps / baseline, 4),
             "per_stream_rtf": round(sps / batch / 16000.0, 4),
