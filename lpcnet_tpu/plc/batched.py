@@ -21,12 +21,12 @@ holds at most 2*(k-1) = 4 frames). The two-path evaluate-both-and-merge
 predecessors (_plc_frame_step, _plc_frame_step_nc) are kept as the
 bit-exactness reference for tests.
 
-Scope: causal mode with or without blending (LPCNET_PLC_CAUSAL /
-LPCNET_PLC_CODEC) with per-stream FEC queues (fec_add/fec_clear) and the
-DC filter (remove_dc, closed-form triangular-matmul recurrence), and the
-non-causal mode (no DC there -- use the host PLC for non-causal _dc). The
-host PLC remains the reference for the full option surface. Parity: 1-LSB
-against plc.py when all streams share a pattern (test_plc_batched).
+Scope: the full reference option surface -- causal mode with or without
+blending (LPCNET_PLC_CAUSAL / LPCNET_PLC_CODEC) with per-stream FEC queues
+(fec_add/fec_clear), the non-causal mode, and the DC filter (remove_dc) in
+both causal and non-causal modes (closed-form triangular-matmul
+recurrences instead of the C's per-sample loops). Parity: 1-LSB against
+the host plc.py when all streams share a pattern (test_plc_batched).
 """
 
 from __future__ import annotations
@@ -78,6 +78,7 @@ class BatchedPLCState(NamedTuple):
     fec_skip: jnp.ndarray       # [B] int32 pending unknown-feature skips
     dc_mem: jnp.ndarray         # [B] DC tracker (remove_dc mode)
     syn_dc: jnp.ndarray         # [B] synthesis-side DC tracker
+    dc_buf: jnp.ndarray         # [B, TO] delayed DC offsets (non-causal _dc)
 
 
 def _bwhere(mask, new, old):
@@ -133,14 +134,17 @@ class BatchedPLC:
             self.kw = None
         self.state = self.init_state()
         delay, buf_size = self.delay, self.plc_buf_size
-        if remove_dc and (non_causal or not fused_step):
-            raise ValueError("batched remove_dc: causal fused step only "
-                             "(use the host PLC for the _dc non-causal mode)")
+        if remove_dc and not fused_step:
+            raise ValueError("batched remove_dc: fused step only")
         self.remove_dc = remove_dc
         self.fused_step = fused_step
         if fused_step:
             if non_causal:
-                step_fn = _plc_frame_step_nc_fused
+                def step_fn(st, fw, pp, pcm, lost, cfg_, eb, dl, bs, kw=None,
+                            _rd=remove_dc):
+                    return _plc_frame_step_nc_fused(st, fw, pp, pcm, lost,
+                                                    cfg_, eb, dl, bs, kw,
+                                                    remove_dc=_rd)
             else:
                 def step_fn(st, fw, pp, pcm, lost, cfg_, eb, dl, bs, kw=None,
                             _rd=remove_dc):
@@ -185,6 +189,7 @@ class BatchedPLC:
             fec_skip=jnp.zeros((b,), jnp.int32),
             dc_mem=jnp.zeros((b,), jnp.float32),
             syn_dc=jnp.zeros((b,), jnp.float32),
+            dc_buf=jnp.zeros((b, _TO), jnp.float32),
         )
 
     def reset(self):
@@ -573,6 +578,18 @@ def _syn_dc_step(syn0, pcm):
             + jnp.matmul(pcm, jnp.asarray(_DC_TAIL), precision=F32_PRECISION))
 
 
+_DC_TAIL80 = (DC_CONST * np.power(1.0 - DC_CONST,
+                                  _TO - 1 - np.arange(_TO))).astype(np.float32)
+
+
+def _syn_dc_step80(syn0, pcm80):
+    """The same recurrence over a half frame (the non-causal mode's
+    TRAINING_OFFSET-length accumulations, src/lpcnet_plc.c:385-387,425)."""
+    return (syn0 * np.float32(_DC_POWS[_TO])
+            + jnp.matmul(pcm80, jnp.asarray(_DC_TAIL80),
+                         precision=F32_PRECISION))
+
+
 def _att_of(lc):
     """Energy attenuation for loss_count lc (gather-free ATT_TABLE lookup)."""
     idx = jnp.minimum(lc, 9)
@@ -917,7 +934,7 @@ def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg, kw=None):
 
 def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
                              lost, cfg, enable_blending, delay, plc_buf_size,
-                             kw=None):
+                             kw=None, remove_dc=False):
     """Non-causal PLC step as ONE interleaved program over a single state
     (the non-causal twin of _plc_frame_step_fused; same argument as there:
     lost/good masks are disjoint, so both paths' sub-ops interleave over one
@@ -931,16 +948,36 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
     continued-loss + recovery) collapses to one enc call. Kernel calls
     9 -> 5, enc steps 3 -> 2, frame nets 6 -> 4, plc preds 3 -> 2, and the
     whole-state double-evaluate + merge disappears.
+
+    remove_dc adds the non-causal _dc variant (src/lpcnet_plc.c:383-393,
+    404-426, 437-441): internal processing runs DC-free; on recovery the
+    tracker rewinds and re-runs with the synthesized forward tail folded in
+    (the two per-sample loops become the closed-form triangular-matmul
+    recurrences _dc_path/_syn_dc_step*); the half-frame output delay re-adds
+    offsets through the dc_buf ring.
     """
     b = pcm.shape[0]
     s = state
     L = lost
     G = ~lost
     pcm = jnp.asarray(pcm, jnp.float32)
-    pcm_save = pcm
+    pcm_in = pcm
 
     # ---- shared: drain the deferred resync queued by a previous recovery --
     s = _process_queued_update(fused, s, cfg, kw)
+
+    # ---- DC removal pass 1 on incoming audio (good streams,
+    # src/lpcnet_plc.c:404-412): pending synthesis DC folds into the tracker
+    # first; delta carries the truncated pre-fold residue for the blend ----
+    if remove_dc:
+        delta = jnp.trunc(s.syn_dc)
+        dc_out = jnp.floor(0.5 + s.dc_mem)      # conceal's output offset
+        mem_bak = s.dc_mem + s.syn_dc
+        lp, dcm1 = _dc_path(mem_bak, pcm)
+        pcm = jnp.where(G[:, None], pcm - lp, pcm)
+        s = s._replace(dc_mem=jnp.where(G, dcm1, s.dc_mem),
+                       syn_dc=jnp.where(G, 0.0, s.syn_dc))
+    pcm_save = pcm
 
     burg_feats = burg_cepstral_analysis(pcm)
     rec = G & (s.loss_count > 0)       # first good frame after a loss
@@ -977,6 +1014,17 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
         (rec | (L & ~first))[:, None],
         s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(t1), s.pcm_buf))
 
+    # ---- DC removal pass 2 (recovery streams, src/lpcnet_plc.c:414-426):
+    # rewind the tracker, fold in the forward tail's synthesis DC, re-remove
+    if remove_dc:
+        syn_t1 = _syn_dc_step80(jnp.zeros_like(s.syn_dc), t1)
+        delta = jnp.where(rec, jnp.trunc(delta + syn_t1), delta)
+        lp2, dcm2 = _dc_path(mem_bak + syn_t1, pcm_in)
+        pcm = jnp.where(rec[:, None], pcm_in - lp2, pcm)
+        lp = jnp.where(rec[:, None], lp2, lp)
+        s = s._replace(dc_mem=jnp.where(rec, dcm2, s.dc_mem))
+        pcm_save = jnp.where(rec[:, None], pcm, pcm_save)
+
     # recovery: reverse-time synthesis from the incoming audio
     fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
     s = s._replace(sstate=_bwhere(rec, fresh, s.sstate))
@@ -993,10 +1041,12 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
     pcm_c = jnp.concatenate([head, t2], axis=1)
 
     # recovery: reverse-blend into the buffered forward tail, then restore
+    # (in remove_dc mode the reverse synthesis carries the residual DC,
+    # re-offset by the truncated delta, src/lpcnet_plc.c:437-441)
     w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_TO) / _TO)
     fwd_head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
-    blended = jnp.floor(0.5 + w[::-1] * fwd_head
-                        + (1 - w[::-1]) * t2[:, ::-1])
+    t2_rev = t2[:, ::-1] + delta[:, None] if remove_dc else t2[:, ::-1]
+    blended = jnp.floor(0.5 + w[::-1] * fwd_head + (1 - w[::-1]) * t2_rev)
     s = s._replace(pcm_buf=jnp.where(
         rec[:, None],
         s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(blended),
@@ -1039,7 +1089,23 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
         pcm_buf=new_buf,
         loss_count=jnp.where(L, s.loss_count + 1,
                              jnp.zeros_like(s.loss_count)))
-    out = jnp.where(L[:, None], pcm_c, out_u)
+    if remove_dc:
+        # conceal tracks the synthesized signal's DC (tail only on the first
+        # loss -- the head was buffered lookahead, src/lpcnet_plc.c:384-390);
+        # the half-frame output delay re-adds offsets via the dc_buf ring
+        syn_c = jnp.where(first, _syn_dc_step80(s.syn_dc, t2),
+                          _syn_dc_step(s.syn_dc, pcm_c))
+        s = s._replace(syn_dc=jnp.where(L, syn_c, s.syn_dc))
+        out_c = (pcm_c.at[:, :_TO].add(s.dc_buf)
+                 .at[:, _TO:].add(dc_out[:, None]))
+        out_u = (out_u.at[:, :_TO].add(s.dc_buf)
+                 .at[:, _TO:].add(lp[:, :_N1]))
+        s = s._replace(dc_buf=jnp.where(
+            L[:, None], jnp.broadcast_to(dc_out[:, None], (b, _TO)),
+            lp[:, FRAME_SIZE - _TO:]))
+        out = jnp.where(L[:, None], out_c, out_u)
+    else:
+        out = jnp.where(L[:, None], pcm_c, out_u)
     return s, jnp.clip(out, -32768, 32767)
 
 

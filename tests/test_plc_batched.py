@@ -228,6 +228,39 @@ def test_batched_dc_filter_matches_host():
     assert abs(float(np.asarray(clean.state.dc_mem)[0]) - 300.0) < 100.0
 
 
+def test_batched_dc_filter_matches_host_non_causal():
+    """Non-causal +DC mode (the _dc model variants): batched closed-form DC
+    recurrences incl. the recovery rewind/re-track vs the host's sequential
+    f64 loops."""
+    from lpcnet_tpu.plc.plc import LPCNET_PLC_DC_FILTER, LPCNET_PLC_NONCAUSAL
+    batch, n_frames = 2, 14
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
+                         lookahead=0)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+    host = PLC(fused, cfg, plc_params,
+               options=LPCNET_PLC_NONCAUSAL | LPCNET_PLC_DC_FILTER,
+               batch=batch)
+    batched = BatchedPLC(fused, cfg, plc_params, batch=batch,
+                         non_causal=True, remove_dc=True)
+    pcm = _speech(n_frames, batch) + 300.0      # constant DC offset
+    lost_per_frame = np.array([0, 0, 0, 1, 1, 0, 0, 1, 1, 1, 1, 0, 0, 0])
+    for k in range(n_frames):
+        frame = pcm[:, k * 160:(k + 1) * 160]
+        ref = host.conceal() if lost_per_frame[k] else host.update(frame)
+        out = batched.step(frame, np.full(batch, lost_per_frame[k]))
+        d = np.abs(out - ref)
+        assert d.max() <= 2.0, f"frame {k}: max {d.max()}"
+        assert (d > 1e-3).mean() < 0.05, f"frame {k}: too many diffs"
+    # a clean run locks the tracker onto the input offset
+    clean = BatchedPLC(fused, cfg, plc_params, batch=batch,
+                       non_causal=True, remove_dc=True)
+    for k in range(8):
+        clean.step(pcm[:, k * 160:(k + 1) * 160], np.zeros(batch))
+    assert abs(float(np.asarray(clean.state.dc_mem)[0]) - 300.0) < 100.0
+
+
 @pytest.mark.parametrize("non_causal", [False, True])
 def test_fused_step_matches_two_path(non_causal):
     """The single-state interleaved step vs its evaluate-both-and-merge

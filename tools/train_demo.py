@@ -19,39 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synth_corpus(seconds: float, seed: int = 0) -> np.ndarray:
-    """Speech-like corpus: several 'speakers' (pitch ranges/formant tracks)."""
-    rng = np.random.RandomState(seed)
-    total = int(seconds * 16000)
-    out = np.zeros(total, np.float64)
-    pos = 0
-    while pos < total:
-        dur = int(16000 * (1.5 + rng.rand() * 2.0))
-        n = min(dur, total - pos)
-        t = np.arange(n)
-        f0 = 80 + 150 * rng.rand()
-        vib = f0 * 0.05 * np.sin(2 * np.pi * t / 16000 * (4 + 2 * rng.rand()))
-        f0t = f0 + vib + f0 * 0.3 * np.sin(2 * np.pi * t / n * (0.5 + rng.rand()))
-        phase = np.cumsum(f0t / 16000)
-        pulses = (np.diff(np.floor(phase), prepend=0.0) > 0) * (400 + 400 * rng.rand())
-        voiced_gate = 0.5 + 0.5 * np.sign(np.sin(2 * np.pi * t / 16000 / (0.4 + rng.rand())))
-        exc = pulses * voiced_gate + rng.randn(n) * (30 + 120 * (1 - voiced_gate))
-        sig = np.zeros(n)
-        y1 = y2 = z1 = z2 = 0.0
-        fmt1 = 400 + 500 * rng.rand()
-        fmt2 = 1200 + 1200 * rng.rand()
-        a1 = 2 * 0.94 * np.cos(2 * np.pi * fmt1 / 16000)
-        a2 = 2 * 0.90 * np.cos(2 * np.pi * fmt2 / 16000)
-        for i in range(n):
-            v = exc[i] + a1 * y1 - 0.94 * 0.94 * y2
-            y2, y1 = y1, v
-            w = v + a2 * z1 - 0.90 * 0.90 * z2
-            z2, z1 = z1, w
-            sig[i] = w
-        env = 0.2 + 0.8 * np.clip(np.sin(2 * np.pi * t / 16000 / 1.1) * 2, 0, 1)
-        out[pos:pos + n] = sig * env
-        pos += n
-    out = out / np.max(np.abs(out)) * 9000
-    return np.round(out).astype(np.int16)
+    from lpcnet_tpu.train.corpus import synth_corpus as gen
+    return gen(seconds, seed=seed)
 
 
 def main():
