@@ -115,6 +115,7 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
         fused = Q.quantize_fused(fused)
     plc_params = PM.init_params(jax.random.PRNGKey(1))
     plc = BatchedPLC(fused, cfg, plc_params, batch=batch, non_causal=nc,
+                     remove_dc=bool(os.environ.get("LPCNET_BENCH_DC")),
                      fused_step=not os.environ.get("LPCNET_BENCH_TWOPATH"))
     import jax.numpy as jnp
 
@@ -193,6 +194,7 @@ def main():
         sps = bench_plc(batch, max(n_frames // 2, 10))
         baseline = 256 * 16000.0
         sfx = "_nc" if os.environ.get("LPCNET_BENCH_NC") else ""
+        sfx += "_dc" if os.environ.get("LPCNET_BENCH_DC") else ""
         print(json.dumps({
             "metric": f"plc_mixed_loss_samples_per_sec_chip_b{batch}{sfx}",
             "value": round(sps, 1), "unit": "samples/s",
