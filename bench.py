@@ -17,6 +17,11 @@ import time
 import numpy as np
 
 
+def _env_flag(name: str) -> bool:
+    """Boolean env flag where '0'/''/'false' are off (so FLAG=0 disables)."""
+    return os.environ.get(name, "").strip().lower() not in ("", "0", "false")
+
+
 def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
                     kernel: str = "scan"):
     import jax
@@ -106,17 +111,17 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
     from lpcnet_tpu.models import plc as PM
     from lpcnet_tpu.plc.batched import BatchedPLC
 
-    nc = bool(os.environ.get("LPCNET_BENCH_NC"))       # non-causal mode
+    nc = _env_flag("LPCNET_BENCH_NC")                  # non-causal mode
     cfg = M.LPCNetConfig(lookahead=0) if nc else M.LPCNetConfig()
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     fused = M.fuse_inference_params(params, cfg)
-    if os.environ.get("LPCNET_BENCH_INT8"):
+    if _env_flag("LPCNET_BENCH_INT8"):
         from lpcnet_tpu.nn import quantized as Q
         fused = Q.quantize_fused(fused)
     plc_params = PM.init_params(jax.random.PRNGKey(1))
     plc = BatchedPLC(fused, cfg, plc_params, batch=batch, non_causal=nc,
-                     remove_dc=bool(os.environ.get("LPCNET_BENCH_DC")),
-                     fused_step=not os.environ.get("LPCNET_BENCH_TWOPATH"))
+                     remove_dc=_env_flag("LPCNET_BENCH_DC"),
+                     fused_step=not _env_flag("LPCNET_BENCH_TWOPATH"))
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
@@ -193,8 +198,8 @@ def main():
     if mode == "plc":
         sps = bench_plc(batch, max(n_frames // 2, 10))
         baseline = 256 * 16000.0
-        sfx = "_nc" if os.environ.get("LPCNET_BENCH_NC") else ""
-        sfx += "_dc" if os.environ.get("LPCNET_BENCH_DC") else ""
+        sfx = "_nc" if _env_flag("LPCNET_BENCH_NC") else ""
+        sfx += "_dc" if _env_flag("LPCNET_BENCH_DC") else ""
         print(json.dumps({
             "metric": f"plc_mixed_loss_samples_per_sec_chip_b{batch}{sfx}",
             "value": round(sps, 1), "unit": "samples/s",

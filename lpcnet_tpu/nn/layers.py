@@ -29,14 +29,100 @@ Params = Dict[str, Any]
 
 HIGHEST = jax.lax.Precision.HIGHEST
 
+# --------------------------------------------------------------------------
+# Activation implementations
+#
+# "exact": jnp.tanh / sigmoid -- the production TPU path.
+# "cref":  the reference C's scalar table approximations (src/vec.h:82-104,
+#          tansig_table.h) -- test-only, used by the C-vs-JAX neural parity
+#          gate so that free-running synthesis takes bit-identical sampling
+#          decisions (the bit-tree thresholds compare logits whose only
+#          cross-implementation error is then float association, ~1e-6).
+# --------------------------------------------------------------------------
+
+_ACT_IMPL = "exact"
+_TANSIG_TABLE = None
+
+
+def _tansig_table():
+    # tansig_table.h is generated as printf("%f", tanh(.04*i)): the C
+    # literals are tanh values rounded to 6 decimals, so recompute them
+    # rather than copying the header.
+    global _TANSIG_TABLE
+    if _TANSIG_TABLE is None:
+        import numpy as np
+        t = np.round(np.tanh(0.04 * np.arange(201, dtype=np.float64)), 6)
+        _TANSIG_TABLE = jnp.asarray(t.astype(np.float32))
+    return _TANSIG_TABLE
+
+
+def set_cref_tansig_table(tab):
+    """Override the recomputed table with the exact values from the compiled
+    reference (3 of 201 entries differ by ~1e-6 from the recomputation due
+    to the reference generator's float rounding; the parity-gate fixtures
+    ship the authoritative table)."""
+    global _TANSIG_TABLE
+    import numpy as np
+    assert len(tab) == 201
+    _TANSIG_TABLE = jnp.asarray(np.asarray(tab, np.float32))
+
+
+def tanh_cref(x):
+    """tanh_approx (src/vec.h:82-99): 201-entry table + 2nd-order correction."""
+    x = jnp.asarray(x, jnp.float32)
+    sign = jnp.where(x < 0, -1.0, 1.0).astype(jnp.float32)
+    ax = jnp.abs(x)
+    i = jnp.floor(0.5 + 25.0 * ax).astype(jnp.int32)
+    i = jnp.clip(i, 0, 200)
+    ax = ax - 0.04 * i.astype(jnp.float32)
+    y = jnp.take(_tansig_table(), i)
+    dy = 1.0 - y * y
+    y = y + ax * dy * (1.0 - y * ax)
+    return sign * y
+
+
+def sigmoid_cref(x):
+    """sigmoid_approx (src/vec.h:101-104)."""
+    return 0.5 + 0.5 * tanh_cref(0.5 * jnp.asarray(x, jnp.float32))
+
+
+def set_activation_impl(name: str):
+    """Switch tanh/sigmoid between 'exact' and 'cref' (test-only global)."""
+    global _ACT_IMPL
+    assert name in ("exact", "cref"), name
+    _ACT_IMPL = name
+
+
+class activation_impl:
+    """Context manager: with activation_impl('cref'): ..."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __enter__(self):
+        global _ACT_IMPL
+        self.prev = _ACT_IMPL
+        set_activation_impl(self.name)
+
+    def __exit__(self, *exc):
+        set_activation_impl(self.prev)
+
+
+def _tanh(x):
+    return tanh_cref(x) if _ACT_IMPL == "cref" else jnp.tanh(x)
+
+
+def _sigmoid(x):
+    return sigmoid_cref(x) if _ACT_IMPL == "cref" else jax.nn.sigmoid(x)
+
 
 def activate(x, activation: str):
     if activation == "linear":
         return x
     if activation == "tanh":
-        return jnp.tanh(x)
+        return _tanh(x)
     if activation == "sigmoid":
-        return jax.nn.sigmoid(x)
+        return _sigmoid(x)
     if activation == "relu":
         return jax.nn.relu(x)
     if activation == "swish":
@@ -113,8 +199,8 @@ def gru_step(params: Params, h, x, activation: str = "tanh", precision=HIGHEST):
     n = h.shape[-1]
     zin = jnp.matmul(x, params["kernel"], precision=precision) + params["bias"][0]
     zrec = jnp.matmul(h, params["recurrent"], precision=precision) + params["bias"][1]
-    z = jax.nn.sigmoid(zin[..., :n] + zrec[..., :n])
-    r = jax.nn.sigmoid(zin[..., n:2 * n] + zrec[..., n:2 * n])
+    z = _sigmoid(zin[..., :n] + zrec[..., :n])
+    r = _sigmoid(zin[..., n:2 * n] + zrec[..., n:2 * n])
     hcand = activate(zin[..., 2 * n:] + r * zrec[..., 2 * n:], activation)
     return z * h + (1.0 - z) * hcand
 
@@ -130,8 +216,8 @@ def gru_precomputed_step(params: Params, h, gate_in, activation: str = "tanh",
     """
     n = h.shape[-1]
     zrec = jnp.matmul(h, params["recurrent"], precision=precision) + params["bias"][1]
-    z = jax.nn.sigmoid(gate_in[..., :n] + zrec[..., :n])
-    r = jax.nn.sigmoid(gate_in[..., n:2 * n] + zrec[..., n:2 * n])
+    z = _sigmoid(gate_in[..., :n] + zrec[..., :n])
+    r = _sigmoid(gate_in[..., n:2 * n] + zrec[..., n:2 * n])
     hcand = activate(gate_in[..., 2 * n:] + r * zrec[..., 2 * n:], activation)
     return z * h + (1.0 - z) * hcand
 
@@ -162,7 +248,7 @@ def mdense(params: Params, x, activation: str = "sigmoid", precision=HIGHEST):
     Matches training_tf2/mdense.py:64-72 and compute_mdense (src/nnet.c:137-161).
     """
     y = jnp.einsum("...i,ioc->...oc", x, params["kernel"], precision=precision)
-    y = jnp.tanh(y + params["bias"])
+    y = _tanh(y + params["bias"])
     y = jnp.sum(y * params["factor"], axis=-1)
     return activate(y, activation)
 
@@ -180,4 +266,4 @@ def mdense_logits_pair(params: Params, x, rows, precision=HIGHEST):
     b = jnp.take(params["bias"], rows, axis=0)                      # [..., 2]
     f = jnp.take(params["factor"], rows, axis=0)
     s = jnp.einsum("...i,...ic->...c", x, w, precision=precision) + b
-    return jnp.sum(f * jnp.tanh(s), axis=-1)
+    return jnp.sum(f * _tanh(s), axis=-1)

@@ -221,7 +221,9 @@ def _utterance(rng, speaker):
     # slow loudness contour
     out *= loud * (0.75 + 0.25 * np.sin(2 * np.pi * t / n * (0.5 + rng.rand())
                                         + rng.rand() * 6.28))
-    return out, vr * loud
+    # return the loud-free voiced RMS so per-speaker `loud` survives the
+    # caller's RMS normalization (returning vr*loud would cancel it exactly)
+    return out, vr
 
 
 def synth_corpus(seconds: float, seed: int = 0) -> np.ndarray:

@@ -3,10 +3,15 @@ and tf_funcs.py): differentiable u-law, LPC prediction, bit-tree pdf, CE."""
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
-LOG256 = jnp.log(256.0)
+# Python float, NOT jnp: module-level jnp constants initialize the default
+# (possibly TPU) backend at import time, which must never be a precondition
+# for CPU-mesh dryruns (round-1 MULTICHIP failure).
+LOG256 = math.log(256.0)
 _SCALE = 255.0 / 32768.0
 _SCALE_1 = 32768.0 / 255.0
 

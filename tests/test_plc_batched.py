@@ -261,6 +261,44 @@ def test_batched_dc_filter_matches_host_non_causal():
     assert abs(float(np.asarray(clean.state.dc_mem)[0]) - 300.0) < 100.0
 
 
+def test_batched_dc_mixed_patterns_independent_non_causal():
+    """Per-stream independence for nc+DC: stream i of a mixed-pattern batch
+    (every stream a different loss mask) == stream i of a batch running
+    pattern i everywhere. Exercises the DC rewind/re-track and dc_buf delay
+    ring under divergent per-stream control flow."""
+    n_frames = 12
+    patterns = np.array([
+        [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],       # clean
+        [0, 0, 1, 1, 0, 0, 0, 0, 1, 1, 0, 0],       # periodic loss
+        [0, 0, 0, 0, 1, 1, 1, 1, 0, 0, 0, 0],       # burst
+    ])
+    batch = patterns.shape[0]
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
+                         lookahead=0)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+
+    def make():
+        return BatchedPLC(fused, cfg, plc_params, batch=batch,
+                          non_causal=True, remove_dc=True)
+
+    pcm = _speech(n_frames, batch) + 300.0      # constant DC offset
+    mixed = make()
+    mixed_out = np.stack(
+        [mixed.step(pcm[:, k * 160:(k + 1) * 160], patterns[:, k])
+         for k in range(n_frames)], axis=1)
+    for i in range(batch):
+        uni = make()
+        pcm_i = np.tile(pcm[i][None], (batch, 1))
+        uni_out = np.stack(
+            [uni.step(pcm_i[:, k * 160:(k + 1) * 160],
+                      np.full(batch, patterns[i, k]))
+             for k in range(n_frames)], axis=1)
+        np.testing.assert_allclose(mixed_out[i], uni_out[i], atol=1e-3,
+                                   err_msg=f"stream {i}")
+
+
 @pytest.mark.parametrize("non_causal", [False, True])
 def test_fused_step_matches_two_path(non_causal):
     """The single-state interleaved step vs its evaluate-both-and-merge
