@@ -11,7 +11,10 @@
 
 #define END2END_DISABLED
 #define LPC_GAMMA 1.0f
-#define FEATURES_DELAY 2
+#ifndef FEATURES_DELAY
+#define FEATURES_DELAY 2   /* override with -DFEATURES_DELAY=0 for the
+                              non-causal-PLC (no-lookahead) harness build */
+#endif
 
 #define GRU_A_STATE_SIZE 384
 #define GRU_B_STATE_SIZE 16
