@@ -54,6 +54,15 @@ def _pick_bt(padded_batch: int) -> int:
 # CPU tests run the kernel in interpreter mode
 _INTERPRET = bool(__import__("os").environ.get("LPCNET_PALLAS_INTERPRET"))
 
+# Bench-only ablations (wrong numerics, perf ceilings): comma-set of
+#   arec    skip GRU-A's off-diagonal recurrent matmul -- the upper bound of
+#           any sparse-GRU-A win (the trained 8x4 block sparsity cannot beat
+#           deleting the matmul outright)
+#   emb     skip the one-hot embedding contraction
+# Used by bench.py's ablation mode; never set in production/tests.
+_ABLATE = set(filter(None, __import__("os").environ
+                     .get("LPCNET_KERNEL_ABLATE", "").split(",")))
+
 
 def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16,
                    quantized: bool = None):
@@ -197,6 +206,16 @@ def _kiss99(z, w, jsr, jcong):
     return (mwc ^ cong) + shr3, znew, wnew, shr3, cong
 
 
+def _compiler_params():
+    """Optional Mosaic grid-semantics hint A/B (LPCNET_KERNEL_DIMSEM=
+    parallel|arbitrary): batch tiles are independent, so `parallel` is
+    legal and lets Mosaic skip cross-iteration ordering."""
+    ds = __import__("os").environ.get("LPCNET_KERNEL_DIMSEM")
+    if not ds:
+        return None
+    return pltpu.CompilerParams(dimension_semantics=(ds,))
+
+
 def _onehot(idx, n):
     """idx [BT, 1] int32 -> [BT, n] f32 one-hot."""
     lanes = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], n), 1)
@@ -226,26 +245,39 @@ def _gru_ab(q8, na, nb, W, conda, condb, sig_u, pred_u, exc_u, h_a0, h_b0):
     # ranges are disjoint, so boolean OR avoids unsupported i8 vector adds.
     l768 = jax.lax.broadcasted_iota(jnp.int32, (b, 768), 1)
     if q8:
-        oh = ((l768 == sig_u) | (l768 == pred_u + 256)
-              | (l768 == exc_u + 512)).astype(jnp.int8)
-        gate_a = conda + (jnp.dot(oh, W["emb_q8"][:],
-                                  preferred_element_type=jnp.int32)
-                          .astype(jnp.float32) * W["emb_scale"][:])
-        h_q = _quant_act(h_a0)
-        zrec = (jnp.dot(h_q, W["a_rec_q8"][:],
-                        preferred_element_type=jnp.int32)
-                .astype(jnp.float32) * _SCALE_Q
-                + W["a_diag"][:] * jnp.concatenate([h_a0] * 3, axis=1)
-                + W["a_bias1"][:])
+        if "emb" in _ABLATE:
+            gate_a = conda
+        else:
+            oh = ((l768 == sig_u) | (l768 == pred_u + 256)
+                  | (l768 == exc_u + 512)).astype(jnp.int8)
+            gate_a = conda + (jnp.dot(oh, W["emb_q8"][:],
+                                      preferred_element_type=jnp.int32)
+                              .astype(jnp.float32) * W["emb_scale"][:])
+        if "arec" in _ABLATE:
+            zrec = (W["a_diag"][:] * jnp.concatenate([h_a0] * 3, axis=1)
+                    + W["a_bias1"][:])
+        else:
+            h_q = _quant_act(h_a0)
+            zrec = (jnp.dot(h_q, W["a_rec_q8"][:],
+                            preferred_element_type=jnp.int32)
+                    .astype(jnp.float32) * _SCALE_Q
+                    + W["a_diag"][:] * jnp.concatenate([h_a0] * 3, axis=1)
+                    + W["a_bias1"][:])
     else:
         wdt = W["emb_cat"].dtype
-        oh = ((l768 == sig_u).astype(wdt)
-              + (l768 == pred_u + 256).astype(wdt)
-              + (l768 == exc_u + 512).astype(wdt))
-        gate_a = conda + jnp.dot(oh, W["emb_cat"][:],
-                                 preferred_element_type=jnp.float32)
-        zrec = jnp.dot(h_a0.astype(wdt), W["a_rec"][:],
-                       preferred_element_type=jnp.float32) + W["a_bias1"][:]
+        if "emb" in _ABLATE:
+            gate_a = conda
+        else:
+            oh = ((l768 == sig_u).astype(wdt)
+                  + (l768 == pred_u + 256).astype(wdt)
+                  + (l768 == exc_u + 512).astype(wdt))
+            gate_a = conda + jnp.dot(oh, W["emb_cat"][:],
+                                     preferred_element_type=jnp.float32)
+        if "arec" in _ABLATE:
+            zrec = jnp.broadcast_to(W["a_bias1"][:], (b, 3 * na))
+        else:
+            zrec = jnp.dot(h_a0.astype(wdt), W["a_rec"][:],
+                           preferred_element_type=jnp.float32) + W["a_bias1"][:]
     z = jax.nn.sigmoid(gate_a[:, :na] + zrec[:, :na])
     r = jax.nn.sigmoid(gate_a[:, na:2 * na] + zrec[:, na:2 * na])
     hc = jnp.tanh(gate_a[:, 2 * na:] + r * zrec[:, 2 * na:])
@@ -298,23 +330,29 @@ def _draw_bytes(rng_out, adv=None):
 def _bit_tree(W, h_b, bytes_, exc_u):
     """8 sequential bit decisions over the dual-FC tree; all 256 node logits
     from one [BT, nb] x [nb, 512] matmul, lane-selects via masked VPU
-    reduces (sample_mdense, src/nnet.c:163-214)."""
+    reduces (sample_mdense, src/nnet.c:163-214).
+
+    The node-logit and RNG-threshold selects are fused into ONE masked
+    reduce per bit over a [BT, 512] payload of [logits | -thresholds]: the
+    two hot lanes are disjoint (node < 256 <= 256+byte), so the reduce
+    yields exactly logit - thr, and IEEE sign-exactness of subtraction makes
+    `diff > 0` decide identically to the reference's `thr < logit`
+    (halves the sequential VPU selects on the sampler's critical path)."""
     pre = jnp.dot(h_b, W["dual_w"][:],
                   preferred_element_type=jnp.float32) + W["dual_bias"][:]
     tpre = W["dual_factor"][:] * jnp.tanh(pre)       # [BT, 512]
     all_logits = tpre[:, :256] + tpre[:, 256:]       # [BT, 256]
-    lanes = jax.lax.broadcasted_iota(jnp.int32, all_logits.shape, 1)
-    table_row = W["logit_table"][:]                  # [1, 256]
+    payload = jnp.concatenate(
+        [all_logits,
+         jnp.broadcast_to(-W["logit_table"][:], all_logits.shape)], axis=1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, payload.shape, 1)
     val = jnp.zeros_like(exc_u)
     for b in range(8):
         rows = (1 << b) | val
-        # lane-select via masked reduce (VPU) instead of MXU gathers
-        logit = jnp.sum(jnp.where(lanes == rows, all_logits, 0.0),
-                        axis=1, keepdims=True)
-        byte_idx = bytes_[b].astype(jnp.int32)
-        thr = jnp.sum(jnp.where(lanes == byte_idx, table_row, 0.0),
-                      axis=1, keepdims=True)
-        bit = (thr < logit).astype(jnp.int32)
+        sel = bytes_[b].astype(jnp.int32) + 256
+        diff = jnp.sum(jnp.where((lanes == rows) | (lanes == sel),
+                                 payload, 0.0), axis=1, keepdims=True)
+        bit = (diff > 0).astype(jnp.int32)
         val = (val << 1) | bit
     return val
 
@@ -466,37 +504,11 @@ def _sample_kernel_merged(n_samples, na, nb,
         h_b = zb * h_b + (1.0 - zb) * hcb
         hb_out[:] = h_b
 
-        # --- bit-tree sampling (identical to the unmerged kernel) ---------
-        z0 = rng_out[:, 0:1]
-        w0 = rng_out[:, 1:2]
-        j0 = rng_out[:, 2:3]
-        c0 = rng_out[:, 3:4]
-        r1, z0, w0, j0, c0 = _kiss99(z0, w0, j0, c0)
-        r2, z0, w0, j0, c0 = _kiss99(z0, w0, j0, c0)
-        rng_out[:, 0:1] = z0
-        rng_out[:, 1:2] = w0
-        rng_out[:, 2:3] = j0
-        rng_out[:, 3:4] = c0
-        bytes_ = [(r1 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)] + \
-                 [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
-
-        pre = jnp.dot(h_b, dualw_ref[:],
-                      preferred_element_type=jnp.float32) + dualb_ref[:]
-        tpre = dualf_ref[:] * jnp.tanh(pre)
-        all_logits = tpre[:, :256] + tpre[:, 256:]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, all_logits.shape, 1)
-        table_row = table_ref[:]
-
-        val = jnp.zeros_like(exc_u)
-        for b in range(8):
-            rows = (1 << b) | val
-            logit = jnp.sum(jnp.where(lanes == rows, all_logits, 0.0),
-                            axis=1, keepdims=True)
-            byte_idx = bytes_[b].astype(jnp.int32)
-            thr = jnp.sum(jnp.where(lanes == byte_idx, table_row, 0.0),
-                          axis=1, keepdims=True)
-            bit = (thr < logit).astype(jnp.int32)
-            val = (val << 1) | bit
+        # --- bit-tree sampling (shared helpers with the unmerged kernel) ---
+        bytes_ = _draw_bytes(rng_out)
+        val = _bit_tree({"dual_w": dualw_ref, "dual_bias": dualb_ref,
+                         "dual_factor": dualf_ref, "logit_table": table_ref},
+                        h_b, bytes_, exc_u)
 
         pcm = pred + _ulaw2lin(val)
         exc_out[:] = val
@@ -579,6 +591,7 @@ def _run_ar_kernel(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(*operands)
 
@@ -702,6 +715,7 @@ def _synthesize_frame_pallas_merged(kw, state: SampleState, cond_a, cond_b,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=_compiler_params(),
         interpret=_INTERPRET,
     )(kw["a_merged"], kw["b_merged"], kw["dual_w"], kw["dual_bias"],
       kw["dual_factor"], kw["logit_table"],
@@ -733,7 +747,40 @@ def synthesize_frame_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
     return _run_ar_kernel(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt)
 
 
-_BT_BLOCKLIST: set = set()
+_BT_PROBED: dict = {}
+
+
+def _bt_compiles(fn, kw, cfg, n_samples, bt) -> bool:
+    """Eagerly probe-compile the kernel at batch tile `bt` via AOT lowering
+    with abstract shapes. A try/except around the actual call cannot catch a
+    Pallas compile failure when _synth_pallas runs inside an OUTER jit (the
+    error surfaces at the outer compile, after tracing — see BENCHMARKS.md);
+    lowering a standalone [bt]-batch instance works even mid-trace because
+    shapes/dtypes are static. Result cached per (variant, bundle, samples)."""
+    key = (fn.__name__, is_q8_bundle(kw), n_samples, bt,
+           tuple(sorted(kw.keys())))
+    if key in _BT_PROBED:
+        return _BT_PROBED[key]
+    try:
+        f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+        sds = jax.ShapeDtypeStruct
+        na, nb = cfg.rnn_units1, cfg.rnn_units2
+        b = bt
+        kw_abs = {k: sds(v.shape, v.dtype) for k, v in kw.items()}
+        state_abs = SampleState(
+            gru_a=sds((b, na), f32), gru_b=sds((b, nb), f32),
+            last_sig=sds((b, LPC_ORDER), f32), last_exc=sds((b,), i32),
+            deemph=sds((b,), f32),
+            rng=Kiss99State(sds((b,), u32), sds((b,), u32),
+                            sds((b,), u32), sds((b,), u32)))
+        fn.lower(kw_abs, state_abs, sds((b, 3 * na), f32),
+                 sds((b, 3 * nb), f32), sds((b, LPC_ORDER), f32),
+                 cfg=cfg, n_samples=n_samples, bt=bt).compile()
+        ok = True
+    except Exception:
+        ok = False
+    _BT_PROBED[key] = ok
+    return ok
 
 
 def _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt=None):
@@ -742,22 +789,38 @@ def _synth_pallas(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt=None):
     auto-sized unless LPCNET_KERNEL_BT pins it.
 
     The 512 tile sits close to the compiler's scoped-VMEM ceiling and can
-    fail to compile in some toolchain configurations; auto-selection falls
-    back to the always-safe 256 tile on compile failure (pinned tiles via
-    LPCNET_KERNEL_BT are not second-guessed)."""
+    fail to compile in some toolchain configurations; auto-selection
+    probe-compiles it once (AOT, outer-jit-safe) and falls back to the
+    always-safe 256 tile (pinned tiles via LPCNET_KERNEL_BT are not
+    second-guessed)."""
     b = cond_a.shape[0]
     picked = bt or _pick_bt(b)
     # merged layout only exists for float bundles; q8 has its own fused path
     fn = (_synthesize_frame_pallas_merged
           if _MERGED and not is_q8_bundle(kw) else synthesize_frame_pallas)
-    if picked in _BT_BLOCKLIST and not (bt or _BT_ENV):
+    pinned = bool(bt or _BT_ENV)
+    try:
+        from jax._src.core import trace_state_clean
+        tracing = not trace_state_clean()
+    except Exception:
+        tracing = True
+    key = (fn.__name__, is_q8_bundle(kw), n_samples, picked,
+           tuple(sorted(kw.keys())))
+    if tracing:
+        # inside an outer jit a try/except below could not catch a Pallas
+        # compile failure; decide via the (cached) AOT probe instead
+        if (picked != 256 and not pinned
+                and not _bt_compiles(fn, kw, cfg, n_samples, picked)):
+            picked = 256
+        return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples, picked)
+    if _BT_PROBED.get(key) is False and not pinned:
         picked = 256
     try:
         return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples, picked)
     except Exception:
-        if picked == 256 or bt or _BT_ENV:
+        if picked == 256 or pinned:
             raise
-        _BT_BLOCKLIST.add(picked)
+        _BT_PROBED[key] = False
         return fn(kw, state, cond_a, cond_b, lpc, cfg, n_samples, 256)
 
 
