@@ -31,6 +31,30 @@ def band_lsd(a, b):
                                 - 10 * np.log10(eb + 1e-2))))
 
 
+_STEP_CACHE = {}
+
+
+def _eval_step(cfg):
+    """Module-level jitted step cache so a multi-model sweep (same arch)
+    compiles ONCE — each tunnel compile costs minutes, and fused params are
+    jit arguments (never closure constants, NOTES.md dispatch poisoning)."""
+    if cfg in _STEP_CACHE:
+        return _STEP_CACHE[cfg]
+    import jax
+    from lpcnet_tpu.codec import features as F
+    from lpcnet_tpu.models import lpcnet as M
+
+    @jax.jit
+    def step(enc, fstate, sstate, fused, pcm_frame):
+        enc, feats = F.compute_single_frame_features(enc, pcm_frame)
+        fstate, _, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+        sstate, out = M.synthesize_frame(fused, sstate, ca, cb, lpc)
+        return enc, fstate, sstate, out
+
+    _STEP_CACHE[cfg] = step
+    return step
+
+
 def eval_model(model_path, pcm, segments=8):
     import jax
     import jax.numpy as jnp
@@ -52,13 +76,7 @@ def eval_model(model_path, pcm, segments=8):
     enc = F.init_encoder_state(segments)
     fstate = M.init_frame_state(segments, cfg)
     sstate = M.init_sample_state(segments, cfg)
-
-    @jax.jit
-    def step(enc, fstate, sstate, fused, pcm_frame):
-        enc, feats = F.compute_single_frame_features(enc, pcm_frame)
-        fstate, _, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
-        sstate, out = M.synthesize_frame(fused, sstate, ca, cb, lpc)
-        return enc, fstate, sstate, out
+    step = _eval_step(cfg)
 
     outs = []
     for k in range(t):
