@@ -64,6 +64,18 @@ def main(argv=None):
                     help="redundancy depth in 10ms frames for dred-payload")
     ap.add_argument("--q0", type=int, default=9)
     ap.add_argument("--q1", type=int, default=15)
+    ap.add_argument("--silk-delay", type=int, default=91,
+                    help="fec-encode: samples of delay to align redundancy "
+                         "with SILK-decoded frames (fec_encoder.py:88)")
+    ap.add_argument("--extra-delay", type=int, default=0,
+                    help="fec-encode: extra alignment delay in samples")
+    ap.add_argument("--num-redundancy-frames", type=int, default=64,
+                    help="fec-encode: redundancy depth in 20 ms frames; "
+                         "sizes the zero history prepended so the first "
+                         "packet has a full span (fec_encoder.py:91)")
+    ap.add_argument("--no-align", action="store_true",
+                    help="fec-encode: skip the SILK delay / zero-history "
+                         "padding (raw per-frame packets)")
     ns = ap.parse_args(argv)
 
     if ns.mode == "encode":
@@ -234,6 +246,20 @@ def main(argv=None):
         from .models import rdovae as RV
         cfg = RV.RDOVAEConfig()
         pcm = _read_pcm(ns.args[0])
+        if not ns.no_align:
+            # input alignment (training_tf2/fec_encoder.py:82-115): 91
+            # samples to line up with SILK-decoded frames, a zero history
+            # long enough that the first packet has a full redundancy span,
+            # minus the feature pipeline's own 10 ms delay; right-pad the
+            # tail to a whole 20 ms frame
+            frame20 = 2 * FRAME_SIZE
+            zero_history = (ns.num_redundancy_frames - 1) * frame20
+            total_delay = (ns.silk_delay + zero_history + ns.extra_delay
+                           - FRAME_SIZE)
+            right = (-(len(pcm) + total_delay)) % frame20
+            pcm = np.concatenate([
+                np.zeros(total_delay, pcm.dtype), pcm,
+                np.zeros(right, pcm.dtype)])
         params = (RV.init_params(jax.random.PRNGKey(0), cfg)
                   if ns.model is None else _load_rdovae(ns.model))
         enc = api.lpcnet_encoder_create()

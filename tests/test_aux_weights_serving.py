@@ -1,6 +1,7 @@
 """Aux blob mappings (PLC/DRED) + serving stream pool."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -39,6 +40,7 @@ def test_rdovae_blob_roundtrip():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stream_pool():
     from lpcnet_tpu.models import lpcnet as M
     from lpcnet_tpu.runtime.serving import StreamPool
@@ -61,6 +63,7 @@ def test_stream_pool():
     assert "s3" in out and "s1" not in out
 
 
+@pytest.mark.slow
 def test_plc_stream_pool():
     from lpcnet_tpu.models import lpcnet as M
     from lpcnet_tpu.models import plc as PM
@@ -89,6 +92,7 @@ def test_plc_stream_pool():
     assert set(out) == {"a", "c"}
 
 
+@pytest.mark.slow
 def test_plc_stream_pool_fec():
     """Pool-level FEC: redundancy queued for one stream is consumed during
     its losses (loss counter stays clear) and leaves other streams alone."""

@@ -1,6 +1,7 @@
 """Full-state checkpoint/resume round trip."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -10,6 +11,7 @@ from lpcnet_tpu.train.checkpointing import restore_train_state, save_train_state
 from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer
 
 
+@pytest.mark.slow
 def test_save_restore_resume(tmp_path):
     cfg = M.LPCNetConfig(rnn_units1=16, rnn_units2=16, cond_size=8,
                          pitch_embed_dim=4)

@@ -29,6 +29,7 @@ def _synthetic_features(n=4000, seed=0):
     return walk + rng.randn(n, 36).astype(np.float32) * 0.05
 
 
+@pytest.mark.slow
 def test_trained_beats_random_init():
     feats = _synthetic_features()
     cb = cbm.train_codebooks(feats, stage_codes=32, diff_codes=32,

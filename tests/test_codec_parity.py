@@ -1,6 +1,7 @@
 """Codec parity: bit-exact packets and decoded features vs the reference C."""
 
 import numpy as np
+import pytest
 
 from lpcnet_tpu.codec import packet as P
 from lpcnet_tpu.codec.codebooks import load_codebooks
@@ -49,6 +50,7 @@ def test_decode_features_parity(codec_fixture):
             err_msg=f"decoded features packet {t}")
 
 
+@pytest.mark.slow
 def test_encode_decode_roundtrip_self():
     """Self-consistency: our decoder reproduces our encoder's quantized ceps."""
     from lpcnet_tpu.codec import features as F

@@ -11,6 +11,7 @@ DEMO = os.path.join(os.path.dirname(__file__), "..", "lpcnet_tpu", "data",
                     "demo_model.npz")
 
 
+@pytest.mark.slow
 def test_demo_model_synthesis_quality():
     if not os.path.exists(DEMO):
         pytest.skip("demo model not present")

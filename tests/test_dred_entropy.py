@@ -106,6 +106,7 @@ def test_pvq_search_properties():
         assert np.array_equal(y, E.pvq_decode_index(idx, 24, 82))
 
 
+@pytest.mark.slow
 def test_payload_roundtrip_model():
     """Full pipeline with the real RDO-VAE statistical model: encoder
     produces payload bytes; decoding them reproduces the non-entropy path."""

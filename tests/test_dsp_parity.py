@@ -53,6 +53,7 @@ def test_band_energy(bands_fixture):
     np.testing.assert_allclose(got, bands_fixture["bands"], rtol=2e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_lpc_from_cepstrum(transforms_fixture):
     cin = transforms_fixture["cin"]
     got = np.asarray(lpc_mod.lpc_from_cepstrum(cin))

@@ -1,12 +1,14 @@
 """End-to-end feature extraction parity vs the reference C encoder."""
 
 import numpy as np
+import pytest
 
 import jax
 
 from lpcnet_tpu.codec import features as F
 
 
+@pytest.mark.slow
 def test_frame_internals(codec_fixture):
     """Per-frame excitation buffer + xcorr vs C (framedbg fixtures)."""
     pcm = codec_fixture["pcm"].astype(np.float32)

@@ -1,6 +1,7 @@
 """LPCNet model unit tests: fusion equivalence, synthesis determinism."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +72,7 @@ def test_kiss99_matches_reference_algorithm():
     assert len(set(vals)) == 4
 
 
+@pytest.mark.slow
 def test_synthesis_runs_and_is_deterministic():
     cfg = small_cfg()
     params = M.init_params(jax.random.PRNGKey(0), cfg)
@@ -96,6 +98,7 @@ def test_synthesis_runs_and_is_deterministic():
     assert not np.array_equal(p1[0], p1[1])
 
 
+@pytest.mark.slow
 def test_teacher_forcing_tracks_target():
     """With preload, the fed-back state must follow the target waveform."""
     cfg = small_cfg()

@@ -15,6 +15,7 @@ from lpcnet_tpu.models import lpcnet as M
 from lpcnet_tpu.parallel import mesh as pmesh
 
 
+@pytest.mark.slow
 def test_sharded_synthesis():
     devs = jax.devices("cpu")
     if len(devs) < 8:

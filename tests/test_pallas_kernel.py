@@ -6,12 +6,14 @@ import os
 os.environ["LPCNET_PALLAS_INTERPRET"] = "1"
 
 import numpy as np
+import pytest
 import jax
 
 from lpcnet_tpu.kernels import sample_loop as K
 from lpcnet_tpu.models import lpcnet as M
 
 
+@pytest.mark.slow
 def test_pallas_matches_scan():
     import jax.numpy as jnp
     cfg = M.LPCNetConfig()
@@ -42,6 +44,7 @@ def test_pallas_matches_scan():
     assert np.array_equal(np.asarray(s_pal.rng.z), np.asarray(s_scan.rng.z))
 
 
+@pytest.mark.slow
 def test_pallas_bf16_close_to_f32():
     import jax.numpy as jnp
     cfg = M.LPCNetConfig()

@@ -9,6 +9,8 @@ tests pin the two against each other.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import conftest
 from conftest import load_fixture
 

@@ -4,6 +4,7 @@
 import os
 
 import numpy as np
+import pytest
 
 import conftest
 from conftest import load_fixture
@@ -44,6 +45,7 @@ def _true_features(pcm):
     return np.stack(rows)
 
 
+@pytest.mark.slow
 def test_fec_queue_is_consumed_and_resets_loss_count():
     n_frames = 10
     pcm = _speech(n_frames)
@@ -66,6 +68,7 @@ def test_fec_queue_is_consumed_and_resets_loss_count():
     assert np.isfinite(out).all() and np.isfinite(out2).all()
 
 
+@pytest.mark.slow
 def test_fec_features_override_prediction():
     """During a loss, _get_fec_or_pred must return queued features rather
     than predictions. The first conceal's drain loop consumes several queue

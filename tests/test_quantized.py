@@ -6,6 +6,7 @@ model-level checks (the AR loop is chaotic, so step-level is the right
 granularity for cross-implementation comparison)."""
 
 import numpy as np
+import pytest
 
 import conftest  # noqa: F401
 
@@ -68,6 +69,7 @@ def test_gru_step_q8_matches_integer_reference():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_quantized_synthesis_runs_and_is_close_per_step():
     cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32)
     params = M.init_params(jax.random.PRNGKey(0), cfg)

@@ -1,6 +1,7 @@
 """RDO-VAE tests: shapes, streaming==sequence equivalence, loss decreases."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,7 @@ def test_encode_decode_shapes():
     assert dec.shape == (2, 16, 20)
 
 
+@pytest.mark.slow
 def test_streaming_matches_sequence():
     cfg = tiny_cfg()
     params = RV.init_params(jax.random.PRNGKey(0), cfg)
@@ -71,6 +73,7 @@ def test_rate_estimates_positive():
     assert float(RV.hard_rate_estimate(z, r, theta)) > 0
 
 
+@pytest.mark.slow
 def test_rdovae_loss_and_grad():
     cfg = tiny_cfg()
     params = RV.init_params(jax.random.PRNGKey(0), cfg)

@@ -58,6 +58,7 @@ def test_diff_pred_matches_definition():
             np.testing.assert_allclose(pred[b, t], acc, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_training_loss_decreases():
     cfg = tiny_cfg()
     tc = TrainConfig(batch_size=4, chunk_frames=5)
@@ -127,6 +128,7 @@ def test_weight_clip():
     assert np.all(pair <= 2 * c + 1e-5)
 
 
+@pytest.mark.slow
 def test_training_e2e_variant():
     """End-to-end (differentiable LPC) variant trains: rc head + interp loss."""
     cfg = M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=20,
