@@ -17,9 +17,16 @@ from tools.eval_demo import band_lsd  # noqa: E402
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="artifacts/train_demo/corpus.s16")
+    ap.add_argument("--model", default="lpcnet_tpu/data/demo_model.npz")
+    ap.add_argument("--plc-model", default="artifacts/plc_demo/plc_model.npz")
+    ap.add_argument("--out", default="artifacts/plc_demo/plc_eval_out.s16")
+    args = ap.parse_args()
     from lpcnet_tpu.plc.driver import make_plc, run_plc_stream
 
-    pcm = np.fromfile("artifacts/train_demo/corpus.s16", np.int16)[: 16000 * 6]
+    pcm = np.fromfile(args.corpus, np.int16)[: 16000 * 6]
     n_packets = len(pcm) // 320
     rng = np.random.RandomState(3)
     losses = np.zeros(n_packets, np.int32)
@@ -32,8 +39,8 @@ def main():
             i += 4
         i += 1
 
-    plc = make_plc("causal", model_path="lpcnet_tpu/data/demo_model.npz",
-                   plc_model_path="artifacts/plc_demo/plc_model.npz")
+    plc = make_plc("causal", model_path=args.model,
+                   plc_model_path=args.plc_model)
     out = run_plc_stream(plc, pcm, losses)
 
     lost_mask = np.repeat(losses.astype(bool), 320)[: len(pcm)]
@@ -45,7 +52,7 @@ def main():
     n_lost = int(losses.sum())
     print(f"{n_lost} lost packets; concealment band-LSD {lsd:.2f} dB "
           f"(silence baseline {lsd_zero:.2f} dB)")
-    out.astype(np.int16).tofile("artifacts/plc_demo/plc_eval_out.s16")
+    out.astype(np.int16).tofile(args.out)
     assert lsd < lsd_zero, "PLC should beat silence"
     print("OK")
 

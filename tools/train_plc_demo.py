@@ -11,14 +11,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    outdir = "artifacts/plc_demo"
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", default="artifacts/train_demo/corpus.s16")
+    ap.add_argument("--outdir", default="artifacts/plc_demo")
+    ap.add_argument("--steps", type=int, default=1500)
+    args = ap.parse_args()
+    outdir = args.outdir
     os.makedirs(outdir, exist_ok=True)
     fpath = os.path.join(outdir, "plc_features.f32")
     lpath = os.path.join(outdir, "lost.s8")
 
     if not os.path.exists(fpath):
         from lpcnet_tpu.train.dump_data import dump_data
-        speech = np.fromfile("artifacts/train_demo/corpus.s16", np.int16)
+        speech = np.fromfile(args.corpus, np.int16)
         # dump_data(burg=True) returns the per-frame Burg cepstra
         bf = dump_data(speech, os.path.join(outdir, "_feat36b.f32"), None,
                        burg=True, chunk_frames=800)
@@ -51,14 +57,14 @@ def main():
     step = 0
     import time
     t0 = time.time()
-    while step < 1500:
+    while step < args.steps:
         for batch in loader:
             m = tr.train_step(batch)
             step += 1
             if step % 50 == 0:
                 print(f"plc step {step}: loss={m['loss']:.4f} "
                       f"({step/(time.time()-t0):.2f} steps/s)", flush=True)
-            if step >= 1500:
+            if step >= args.steps:
                 break
         loader.on_epoch_end()
     save_checkpoint(os.path.join(outdir, "plc_model.npz"),

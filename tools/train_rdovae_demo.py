@@ -18,17 +18,23 @@ def main():
         RDOVAEDataset, RDOVAETrainConfig, RDOVAETrainer)
     from lpcnet_tpu.weights.checkpoint import save_checkpoint
 
-    outdir = "artifacts/rdovae_demo"
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--features", default="artifacts/train_demo/features.f32")
+    ap.add_argument("--outdir", default="artifacts/rdovae_demo")
+    ap.add_argument("--steps", type=int, default=1200)
+    args = ap.parse_args()
+    outdir = args.outdir
     os.makedirs(outdir, exist_ok=True)
     cfg = RV.RDOVAEConfig()
     tc = RDOVAETrainConfig(batch_size=8, sequence_length=128)
-    ds = RDOVAEDataset("artifacts/train_demo/features.f32", tc, cfg)
+    ds = RDOVAEDataset(args.features, tc, cfg)
     print(f"{len(ds)} batches/epoch", flush=True)
     tr = RDOVAETrainer(cfg, tc)
     rng = jax.random.PRNGKey(0)
     step = 0
     t0 = time.time()
-    while step < 1200:
+    while step < args.steps:
         for batch in ds:
             rng, sub = jax.random.split(rng)
             m = tr.train_step(batch, sub)
@@ -37,7 +43,7 @@ def main():
                 print(f"rdovae step {step}: total={m['total']:.4f} "
                       f"dist_h={m['dist_hard']:.4f} rate={m['hard_rate_bits']:.1f}b "
                       f"({step/(time.time()-t0):.2f} steps/s)", flush=True)
-            if step >= 1200:
+            if step >= args.steps:
                 break
     save_checkpoint(os.path.join(outdir, "rdovae_model.npz"),
                     jax.device_get(tr.state.params))
