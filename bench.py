@@ -186,6 +186,60 @@ def bench_dred(batch: int, n_dframes: int, warmup: int = 4):
     return batch * n_dframes * 320 / dt
 
 
+def bench_train(batch: int, n_steps: int, warmup: int = 3):
+    """Training-step throughput on the full default (384-unit) vocoder.
+
+    Synthetic in-memory batches (LPCNetLoader shapes) isolate the step
+    itself from disk IO. Two numbers per run:
+      - pipelined: raw jitted step dispatched back-to-back (fetch at end) --
+        the device-side compute rate;
+      - synced: the real `Trainer.train_step` API, which fetches metrics to
+        host every step (one tunnel round-trip per step).
+    Returns (pipelined_steps_per_s, synced_steps_per_s).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lpcnet_tpu.models import lpcnet as M
+    from lpcnet_tpu.parallel import mesh as pmesh
+    from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer
+
+    tc = TrainConfig(batch_size=batch)
+    trainer = Trainer(M.LPCNetConfig(), tc)
+    rng = np.random.RandomState(0)
+    nf = tc.chunk_frames
+    batch_np = {
+        "sig_in": (rng.randn(batch, nf * 160) * 3000).astype(np.float32),
+        "sig_out": (rng.randn(batch, nf * 160) * 3000).astype(np.float32),
+        "features": (rng.randn(batch, nf + 4, 20) * 0.3).astype(np.float32),
+        "periods": rng.randint(40, 220, (batch, nf + 4)).astype(np.int32),
+        "lpc": (rng.randn(batch, nf, 16) * 0.1).astype(np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    # --- synced (public API; per-step host metric fetch) ---
+    for _ in range(warmup):
+        trainer.train_step(batch_np, key)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        trainer.train_step(batch_np, key)
+    synced = n_steps / (time.perf_counter() - t0)
+
+    # --- pipelined (raw jitted step; sync once at the end) ---
+    dbatch = pmesh.shard_batch(trainer.mesh,
+                               {k: jnp.asarray(v) for k, v in batch_np.items()})
+    state, gru = trainer.state, trainer._gru_states
+    for _ in range(warmup):
+        state, metrics, gru = trainer._step(state, dbatch, key, gru)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics, gru = trainer._step(state, dbatch, key, gru)
+    float(metrics["loss"])   # hard sync on the chained result
+    pipelined = n_steps / (time.perf_counter() - t0)
+    return pipelined, synced
+
+
 def main():
     # default = the flagship throughput config (1024 concurrent synthesis
     # streams, each still >1x real-time); override via env for other points
@@ -217,6 +271,22 @@ def main():
             "vs_baseline": round(sps / baseline, 4),
             "per_stream_rtf": round(sps / batch / 16000.0, 4),
             "streams": batch,
+        }))
+        return
+    if mode == "train":
+        tb = int(os.environ.get("LPCNET_BENCH_BATCH", "128"))
+        pipelined, synced = bench_train(tb, max(n_frames // 2, 20))
+        sps = pipelined * tb * 15 * 160
+        # vs_baseline: seconds of 16 kHz speech consumed per wall second
+        # (the reference trains batch-128 2400-sample chunks on a 1080 Ti,
+        # training_tf2/train_lpcnet.py:51-52; no published steps/s)
+        print(json.dumps({
+            "metric": f"train_steps_per_sec_chip_b{tb}",
+            "value": round(pipelined, 3), "unit": "steps/s",
+            "vs_baseline": round(sps / 16000.0, 3),
+            "samples_per_sec": round(sps, 1),
+            "synced_steps_per_sec": round(synced, 3),
+            "batch": tb,
         }))
         return
     if mode == "encode":

@@ -207,11 +207,12 @@ def _kiss99(z, w, jsr, jcong):
 
 
 def _compiler_params():
-    """Optional Mosaic grid-semantics hint A/B (LPCNET_KERNEL_DIMSEM=
-    parallel|arbitrary): batch tiles are independent, so `parallel` is
-    legal and lets Mosaic skip cross-iteration ordering."""
-    ds = __import__("os").environ.get("LPCNET_KERNEL_DIMSEM")
-    if not ds:
+    """Mosaic grid-semantics hint: batch tiles are independent, so
+    `parallel` is legal and lets Mosaic skip cross-iteration ordering
+    (measured +2% on q8 B=1024, BENCHMARKS.md; LPCNET_KERNEL_DIMSEM=
+    arbitrary|none overrides for A/B)."""
+    ds = __import__("os").environ.get("LPCNET_KERNEL_DIMSEM", "parallel")
+    if not ds or ds == "none":
         return None
     return pltpu.CompilerParams(dimension_semantics=(ds,))
 
@@ -650,6 +651,187 @@ def synthesize_frame_masked_auto(kw, state, cond_a, cond_b, lpc, preload,
         pad(preload_mask), pad(advance_mask), cfg, n, sampled=sampled)
     unpad = lambda x: x[:b]
     return jax.tree.map(unpad, new_p), pcm[:b]
+
+
+# ---------------------------------------------------------------------------
+# Teacher-forced fast path
+# ---------------------------------------------------------------------------
+# In a fully teacher-forced segment every sample-rate quantity except the GRU
+# states and the RNG is a closed-form function of the target audio: de_t is
+# (target - P*de) + P*de (set here to target directly -- mathematically
+# identical, one rounding), pcm_t = target_t - P*de_{t-1}, the signal history
+# is a sliding window over [carried last_sig | pcm], pred_t is a 16-tap FIR
+# of that window, and the three u-law embedding indices follow. So the
+# sequential kernel only needs to carry h_a/h_b/rng: per step it builds the
+# 3-hot from precomputed VMEM index sequences and runs the two GRU updates --
+# no LPC filter, no u-law transcendentals, no per-sample pcm stores. This is
+# the TPU answer to the reference PLC's queued-audio resync passes
+# (src/lpcnet_plc.c:188-243), which dominate the batched mixed-loss PLC's
+# frame budget (3x160-step drains per fused step).
+
+# f32/q8 weight subsets actually used by the TF kernel (no sampler tables)
+_WNAMES_TF_F32 = ("emb_cat", "a_rec", "a_bias1", "b_in", "b_rec", "b_bias1")
+_WNAMES_TF_Q8 = ("emb_q8", "emb_scale", "a_rec_q8", "a_diag", "a_bias1",
+                 "b_in_q8", "b_rec", "b_bias1")
+
+
+def _tf_kernel(n_samples, na, nb, q8, *refs):
+    """GRU-only teacher-forced kernel: precomputed u-law index sequences in,
+    (h_a, h_b, rng) out. Streams advance on a per-stream step-count prefix
+    (count=0 freezes a stream entirely)."""
+    names = _WNAMES_TF_Q8 if q8 else _WNAMES_TF_F32
+    nw = len(names)
+    W = dict(zip(names, refs[:nw]))
+    (conda_ref, condb_ref, count_ref, sigu_ref, predu_ref, excu_ref,
+     ha_in, hb_in, rng_in, ha_out, hb_out, rng_out) = refs[nw:]
+
+    ha_out[:] = ha_in[:]
+    hb_out[:] = hb_in[:]
+    rng_out[:] = rng_in[:]
+    count = count_ref[:]                                 # [BT, 1] int32
+
+    def octave(o, _):
+        sblk = sigu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T   # [BT, 8]
+        pblk = predu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
+        eblk = excu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
+        for j in range(8):
+            t = o * 8 + j
+            adv = t < count                              # [BT, 1] bool
+            h_a0 = ha_out[:]
+            h_b0 = hb_out[:]
+            h_a, h_b = _gru_ab(q8, na, nb, W, conda_ref[:], condb_ref[:],
+                               sblk[:, j:j + 1], pblk[:, j:j + 1],
+                               eblk[:, j:j + 1], h_a0, h_b0)
+            ha_out[:] = jnp.where(adv, h_a, h_a0)
+            hb_out[:] = jnp.where(adv, h_b, h_b0)
+            _draw_bytes(rng_out, adv)                    # RNG advance only
+        return 0
+
+    jax.lax.fori_loop(0, n_samples // 8, octave, 0)
+
+
+def _tf_precompute(state: SampleState, lpc, targets, count):
+    """Closed-form teacher-forced sequences + terminal signal state.
+
+    Returns (sig_u, pred_u, exc_in [B, n] int32 index sequences;
+    new_last_sig, new_last_exc, new_deemph terminal values at each stream's
+    prefix length). All static-shaped vector math -- the only per-stream
+    dynamic op is the tiny [B, 16] terminal-window slice."""
+    targets = jnp.asarray(targets, jnp.float32)
+    b, n = targets.shape
+    count = jnp.asarray(count, jnp.int32)
+    de_prev = jnp.concatenate([state.deemph[:, None], targets[:, :-1]],
+                              axis=1)                    # [B, n]
+    pcm = targets - PREEMPHASIS * de_prev
+    ext = jnp.concatenate([state.last_sig[:, ::-1], pcm], axis=1)  # [B,16+n]
+    pred = -sum(lpc[:, k:k + 1] * ext[:, LPC_ORDER - 1 - k:
+                                      LPC_ORDER - 1 - k + n]
+                for k in range(LPC_ORDER))
+    sig_u = _lin2ulaw(ext[:, LPC_ORDER - 1:LPC_ORDER - 1 + n])
+    pred_u = _lin2ulaw(pred)
+    exc_tf = _lin2ulaw(pcm - pred)
+    exc_in = jnp.concatenate(
+        [state.last_exc[:, None].astype(jnp.int32), exc_tf[:, :-1]], axis=1)
+
+    adv_any = count > 0
+    last = jnp.maximum(count - 1, 0)[:, None]
+    win = jax.vmap(lambda e, c: jax.lax.dynamic_slice(e, (c,), (LPC_ORDER,))
+                   )(ext, jnp.maximum(count, 0))
+    new_sig = jnp.where(adv_any[:, None], win[:, ::-1], state.last_sig)
+    new_exc = jnp.where(adv_any,
+                        jnp.take_along_axis(exc_tf, last, axis=1)[:, 0],
+                        state.last_exc)
+    new_de = jnp.where(adv_any,
+                       jnp.take_along_axis(targets, last, axis=1)[:, 0],
+                       state.deemph)
+    return sig_u, pred_u, exc_in, new_sig, new_exc, new_de
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "bt"))
+def teacher_force_prefix_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
+                                targets, count, cfg: LPCNetConfig,
+                                n_samples: int, bt: int = 0) -> SampleState:
+    """Run `count[i]` teacher-forced steps of stream i (count=0 freezes it)
+    through the GRU-only TF kernel; emits no pcm (TF callers discard it).
+    Equivalent to synthesize_frame_masked_pallas(sampled=False) with a
+    prefix advance mask, modulo one fewer rounding in the deemph carry."""
+    q8 = is_q8_bundle(kw)
+    na, nb = cfg.rnn_units1, cfg.rnn_units2
+    b = cond_a.shape[0]
+    bt = bt or (int(_BT_ENV) if _BT_ENV else min(_pick_bt(b), 256))
+    assert b % bt == 0, f"batch {b} must be a multiple of {bt}"
+    assert n_samples % 8 == 0
+
+    sig_u, pred_u, exc_in, new_sig, new_exc, new_de = _tf_precompute(
+        state, lpc, targets, count)
+    rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr,
+                     state.rng.jcong], axis=1)            # [B, 4] uint32
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def b_spec(cols):
+        return pl.BlockSpec((bt, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    t_spec = pl.BlockSpec((n_samples, bt), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+
+    names = _WNAMES_TF_Q8 if q8 else _WNAMES_TF_F32
+    kernel = functools.partial(_tf_kernel, n_samples, na, nb, q8)
+    in_specs = ([w_spec(kw[n].shape) for n in names]
+                + [b_spec(3 * na), b_spec(3 * nb), b_spec(1),
+                   t_spec, t_spec, t_spec,
+                   b_spec(na), b_spec(nb), b_spec(4)])
+    operands = ([kw[n] for n in names]
+                + [cond_a, cond_b, jnp.asarray(count, jnp.int32)[:, None],
+                   sig_u.T, pred_u.T, exc_in.T,
+                   state.gru_a, state.gru_b, rng])
+    out_shapes = (
+        jax.ShapeDtypeStruct((b, na), jnp.float32),
+        jax.ShapeDtypeStruct((b, nb), jnp.float32),
+        jax.ShapeDtypeStruct((b, 4), jnp.uint32),
+    )
+    out_specs = (b_spec(na), b_spec(nb), b_spec(4))
+
+    ha, hb, rng2 = pl.pallas_call(
+        kernel,
+        grid=(b // bt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=_compiler_params(),
+        interpret=_INTERPRET,
+    )(*operands)
+
+    return SampleState(
+        gru_a=ha, gru_b=hb, last_sig=new_sig, last_exc=new_exc,
+        deemph=new_de,
+        rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
+    )
+
+
+def teacher_force_prefix_auto(kw, state, cond_a, cond_b, lpc, targets,
+                              count, cfg) -> SampleState:
+    """Batch-padding wrapper for teacher_force_prefix_pallas (padding
+    streams get count=0, so they are inert)."""
+    b = cond_a.shape[0]
+    n = targets.shape[-1]
+    pb = (b + 255) // 256 * 256
+    if pb == b:
+        return teacher_force_prefix_pallas(kw, state, cond_a, cond_b, lpc,
+                                           targets, count, cfg, n)
+
+    def pad(x):
+        widths = [(0, pb - b)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    st_p = jax.tree.map(pad, state)
+    new_p = teacher_force_prefix_pallas(
+        kw, st_p, pad(cond_a), pad(cond_b), pad(lpc), pad(targets),
+        pad(jnp.asarray(count, jnp.int32)), cfg, n)
+    return jax.tree.map(lambda x: x[:b], new_p)
 
 
 # default pending the on-chip A/B (flip after measuring on real hardware)

@@ -291,8 +291,11 @@ def _fnet_masked(fused, s: BatchedPLCState, feats36, active, cfg):
                       lpc=merged[3])
 
 
+_FASTTF = __import__("os").environ.get("LPCNET_PLC_FASTTF", "1") != "0"
+
+
 def _tail_masked(fused, s: BatchedPLCState, preload, preload_mask,
-                 advance_mask, cfg, kw=None, sampled=True):
+                 advance_mask, cfg, kw=None, sampled=True, live=None):
     """Sample-rate tail with conv-warmup gating (cf. LPCNetCore
     synthesize_tail): streams still in warmup neither advance nor emit.
 
@@ -301,8 +304,10 @@ def _tail_masked(fused, s: BatchedPLCState, preload, preload_mask,
     elides the dual-FC sampler for segments whose advanced steps are all
     teacher-forced (drain/resync/queued updates) -- ~1.5x faster, identical
     results (the sampled value is overridden and the RNG advance is the
-    same)."""
-    live = s.fstate.frame_count > cfg.lookahead
+    same). `live` overrides the warmup gate (two-pass callers captured it
+    at the original program point)."""
+    if live is None:
+        live = s.fstate.frame_count > cfg.lookahead
     adv = advance_mask & live[:, None]
     if kw is None:
         new_ss, pcm = M.synthesize_frame_masked(
@@ -314,6 +319,24 @@ def _tail_masked(fused, s: BatchedPLCState, preload, preload_mask,
             kw, s.sstate, s.cond_a, s.cond_b, s.lpc,
             preload, preload_mask & adv, adv, cfg, sampled=sampled)
     return s._replace(sstate=new_ss), pcm
+
+
+def _tf_prefix(fused, s: BatchedPLCState, ca, cb, lpc, targets, count, cfg,
+               kw):
+    """Prefix-count teacher-forced tail on explicit conditioning (pass 2 of
+    the two-pass drain): the GRU-only fast TF kernel when the Pallas bundle
+    is active, else the masked path. Warmup gating is already folded into
+    `count` by the caller."""
+    if kw is not None and _FASTTF:
+        from ..kernels.sample_loop import teacher_force_prefix_auto
+        new_ss = teacher_force_prefix_auto(kw, s.sstate, ca, cb, lpc,
+                                           targets, count, cfg)
+        return s._replace(sstate=new_ss)
+    adv = (jnp.arange(targets.shape[-1])[None, :] < count[:, None])
+    s2 = s._replace(cond_a=ca, cond_b=cb, lpc=lpc)
+    s2, _ = _tail_masked(fused, s2, targets, adv, adv, cfg, kw,
+                         sampled=False, live=jnp.ones(count.shape, bool))
+    return s._replace(sstate=s2.sstate)
 
 
 def _fec_or_pred_masked(plc_params, s: BatchedPLCState, active, delay):
@@ -676,8 +699,15 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
 
     # ---- conceal: drain queued audio (teacher-forced); the update path's
     # pre-tmp frame net rides the LAST iteration's (disjoint masks, same
-    # input expression) -------------------------------------------------
+    # input expression). Two passes: the frame-rate chain (PLC net, frame
+    # nets, queue bookkeeping) does not depend on the sample-rate TF tails,
+    # so pass 1 runs all frame-rate work and records per-iteration
+    # conditioning, and pass 2 replays the TF tails -- on the GRU-only fast
+    # TF kernel when available (the tails' pcm is discarded; only
+    # sstate advances) ---------------------------------------------------
     saved = None
+    saved_f = None
+    drain = []
     for k in range(MAX_DRAIN):
         active = L & (s.pcm_fill > 0)
         count = jnp.minimum(s.pcm_fill, FRAME_SIZE)
@@ -685,19 +715,25 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
         s = _push_plc_ring(s, active)
         s, _ = _fec_or_pred_masked(plc_params, s, active, delay)
         if k == MAX_DRAIN - 1 and enable_blending:
-            saved = (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc)
+            saved_f = (s.fstate, s.cond_a, s.cond_b, s.lpc)
             fmask = active | bl
         else:
             fmask = active
         s = _fnet_masked(fused, s, _pad36(s.features), fmask, cfg)
-        adv = active[:, None] & (jnp.arange(FRAME_SIZE)[None] < count[:, None])
-        s, _ = _tail_masked(fused, s, output, adv, adv, cfg, kw, sampled=False)
+        live = s.fstate.frame_count > cfg.lookahead
+        drain.append((s.cond_a, s.cond_b, s.lpc, output,
+                      jnp.where(active & live, count, 0)))
         s = s._replace(
             pcm_buf=jnp.where(active[:, None], _shift_buf(s.pcm_buf),
                               s.pcm_buf),
             pcm_fill=jnp.where(active, s.pcm_fill - count, s.pcm_fill),
             skip_analysis=jnp.where(active, s.skip_analysis + 1,
                                     s.skip_analysis))
+    for k, (ca_k, cb_k, lpc_k, output, count) in enumerate(drain):
+        if k == MAX_DRAIN - 1 and enable_blending:
+            saved = (saved_f[0], s.sstate, saved_f[1], saved_f[2],
+                     saved_f[3])
+        s = _tf_prefix(fused, s, ca_k, cb_k, lpc_k, output, count, cfg, kw)
 
     # ---- shared sampled call 1: conceal head (lost) | update tmp (blend) --
     # (codec mode has no tmp/resync synthesis; only lost streams advance)
@@ -821,9 +857,11 @@ def _process_queued_update(fused, s: BatchedPLCState, cfg, kw=None):
     the per-stream queued flag."""
     q = s.queued
     s = _fnet_masked(fused, s, _pad36(s.features), q, cfg)
-    adv = q[:, None] & jnp.ones_like(s.queued_samples, bool)
-    s, _ = _tail_masked(fused, s, s.queued_samples, adv, adv, cfg, kw,
-                        sampled=False)
+    live = s.fstate.frame_count > cfg.lookahead
+    n = s.queued_samples.shape[-1]
+    count = jnp.where(q & live, n, 0)
+    s = _tf_prefix(fused, s, s.cond_a, s.cond_b, s.lpc, s.queued_samples,
+                   count, cfg, kw)
     return s._replace(queued=jnp.zeros_like(q))
 
 
@@ -1030,9 +1068,9 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
     s = s._replace(sstate=_bwhere(rec, fresh, s.sstate))
     s = _fnet_masked(fused, s, _pad36(s.features), rec, cfg)
     rev = pcm[:, ::-1]
-    adv160_r = rec[:, None] & jnp.ones((b, FRAME_SIZE), bool)
-    s, _ = _tail_masked(fused, s, rev, adv160_r, adv160_r, cfg, kw,
-                        sampled=False)
+    live_r = s.fstate.frame_count > cfg.lookahead
+    s = _tf_prefix(fused, s, s.cond_a, s.cond_b, s.lpc, rev,
+                   jnp.where(rec & live_r, FRAME_SIZE, 0), cfg, kw)
 
     # ---- shared call 2 (80): conceal tail | recovery reverse tail ---------
     adv80 = (L | rec)[:, None] & jnp.ones((b, _N1), bool)
@@ -1074,9 +1112,9 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
     s = _fnet_masked(fused, s, enc_feats, gd, cfg)
     tf_target = jnp.concatenate(
         [s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE], pcm[:, :_N1]], axis=1)
-    adv160_g = gd[:, None] & jnp.ones((b, FRAME_SIZE), bool)
-    s, _ = _tail_masked(fused, s, tf_target, adv160_g, adv160_g, cfg, kw,
-                        sampled=False)
+    live_g = s.fstate.frame_count > cfg.lookahead
+    s = _tf_prefix(fused, s, s.cond_a, s.cond_b, s.lpc, tf_target,
+                   jnp.where(gd & live_g, FRAME_SIZE, 0), cfg, kw)
 
     # ---- outputs + buffer/count bookkeeping -------------------------------
     out_u = jnp.concatenate([s.pcm_buf[:, _TO:FRAME_SIZE], pcm[:, :_TO]],

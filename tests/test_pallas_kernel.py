@@ -123,3 +123,82 @@ def test_pallas_q8_masked_teacher_forced_exact():
                                   np.asarray(s0.gru_a[b // 2:]))
     assert np.array_equal(np.asarray(s1.rng.z[b // 2:]),
                           np.asarray(s0.rng.z[b // 2:]))
+
+
+def test_tf_fast_path_matches_masked_tf():
+    """teacher_force_prefix_pallas == synthesize_frame_masked_pallas
+    (sampled=False) with a prefix advance mask: RNG bit-exact, terminal
+    sig/exc/deemph exact up to the one documented deemph rounding, GRU
+    states within kernel tolerance class."""
+    import jax.numpy as jnp
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(7), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    kw = K.kernel_weights(fused, cfg)
+
+    b, n = 256, 32
+    feats = jax.random.normal(jax.random.PRNGKey(20), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+    rngk = jax.random.PRNGKey(21)
+    s0 = M.init_sample_state(b, cfg)
+    s0 = s0._replace(
+        last_sig=jax.random.normal(jax.random.PRNGKey(22), (b, 16)) * 500.0,
+        deemph=jax.random.normal(jax.random.PRNGKey(23), (b,)) * 300.0)
+    target = jax.random.normal(rngk, (b, n)) * 1000.0
+    # mixed prefix lengths incl. frozen streams and full frames
+    count = jnp.asarray(
+        np.r_[np.zeros(64), np.full(64, n), np.full(64, 8),
+              np.full(64, 24)].astype(np.int32))
+    adv = jnp.arange(n)[None, :] < count[:, None]
+
+    s_ref, _ = K.synthesize_frame_masked_pallas(
+        kw, s0, ca, cb, lpc, target, adv, adv, cfg, n, sampled=False)
+    s_tf = K.teacher_force_prefix_pallas(
+        kw, s0, ca, cb, lpc, target, count, cfg, n)
+
+    for f in ("z", "w", "jsr", "jcong"):
+        assert np.array_equal(np.asarray(getattr(s_tf.rng, f)),
+                              np.asarray(getattr(s_ref.rng, f))), f
+    np.testing.assert_allclose(np.asarray(s_tf.gru_a),
+                               np.asarray(s_ref.gru_a), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s_tf.gru_b),
+                               np.asarray(s_ref.gru_b), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(s_tf.last_sig),
+                               np.asarray(s_ref.last_sig), atol=0.5)
+    np.testing.assert_allclose(np.asarray(s_tf.deemph),
+                               np.asarray(s_ref.deemph), atol=0.5)
+    assert np.abs(np.asarray(s_tf.last_exc)
+                  - np.asarray(s_ref.last_exc)).max() <= 1
+
+
+def test_tf_fast_path_q8_and_pad():
+    """Int8 bundle + non-256-multiple batch through the padding wrapper."""
+    import jax.numpy as jnp
+    from lpcnet_tpu.nn import quantized as Q
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(8), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    kw = K.kernel_weights(Q.quantize_fused(fused), cfg)
+
+    b, n = 100, 16
+    feats = jax.random.normal(jax.random.PRNGKey(30), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+    s0 = M.init_sample_state(b, cfg)
+    target = jax.random.normal(jax.random.PRNGKey(31), (b, n)) * 800.0
+    count = jnp.asarray(np.r_[np.zeros(50), np.full(50, n)].astype(np.int32))
+    adv = jnp.arange(n)[None, :] < count[:, None]
+
+    s_ref, _ = K.synthesize_frame_masked_auto(
+        kw, s0, ca, cb, lpc, target, adv, adv, cfg, sampled=False)
+    s_tf = K.teacher_force_prefix_auto(kw, s0, ca, cb, lpc, target, count,
+                                       cfg)
+    assert np.array_equal(np.asarray(s_tf.rng.z), np.asarray(s_ref.rng.z))
+    np.testing.assert_allclose(np.asarray(s_tf.gru_a),
+                               np.asarray(s_ref.gru_a), atol=5e-2)
+    # frozen streams bit-identical
+    np.testing.assert_array_equal(np.asarray(s_tf.gru_a[:50]),
+                                  np.asarray(s0.gru_a[:50]))
+    np.testing.assert_array_equal(np.asarray(s_tf.last_sig[:50]),
+                                  np.asarray(s0.last_sig[:50]))

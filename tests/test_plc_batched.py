@@ -329,3 +329,44 @@ def test_fused_step_matches_two_path(non_causal):
         d = np.abs(oa - ob)
         assert d.max() <= 1.0, f"frame {k}: max {d.max()}"
         assert (d > 1e-3).mean() < 0.01, f"frame {k}"
+
+
+def test_fused_kernel_fasttf_passthrough_and_drain(monkeypatch):
+    """Kernel-path fused step with the fast-TF drain (interpret mode):
+    no-loss frames pass audio through exactly (count=0 TF is inert), and a
+    loss/recovery cycle stays in the same tolerance class as the
+    LPCNET_PLC_FASTTF=0 kernel path."""
+    import os
+    os.environ["LPCNET_PALLAS_INTERPRET"] = "1"
+    import jax
+    import jax.numpy as jnp
+    from lpcnet_tpu.kernels import sample_loop as K
+    from lpcnet_tpu.models import lpcnet as M
+    from lpcnet_tpu.models import plc as PM
+    from lpcnet_tpu.plc import batched as BP
+    monkeypatch.setattr(K, "_INTERPRET", True)
+
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+    b, n_frames = 8, 10
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(b, n_frames, 160) * 2000).astype(np.float32)
+    lost = np.zeros((b, n_frames), bool)
+    lost[:4, 4] = True        # one loss + recovery mid-run on half the batch
+
+    def run(fasttf):
+        monkeypatch.setattr(BP, "_FASTTF", fasttf)
+        plc = BP.BatchedPLC(fused, cfg, plc_params, batch=b,
+                            use_kernel=True)
+        return plc.run(pcm, lost, chunk=5)
+
+    out_fast = run(True)
+    out_ref = run(False)
+    # good streams never touched by loss: exact passthrough both ways
+    np.testing.assert_array_equal(out_fast[4:], out_ref[4:])
+    np.testing.assert_allclose(
+        out_fast[4:], np.clip(pcm[4:], -32768, 32767), atol=1e-3)
+    # frames before the loss identical on all streams
+    np.testing.assert_array_equal(out_fast[:, :4], out_ref[:, :4])

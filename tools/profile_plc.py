@@ -146,6 +146,21 @@ def main():
     tail_bench(80, True, "tail80", "x2 per step")
     tail_bench(160, False, "tail160tf", "x3 drain per step")
 
+    # --- fast TF kernel (GRU-only prefix teacher-forcing) --------------------
+    count = jnp.full((b,), 160, jnp.int32)
+    tgt = jnp.asarray((rng.randn(b, 160) * 2000).astype(np.float32))
+
+    @jax.jit
+    def run_tf(st):
+        def body(c, _):
+            return K.teacher_force_prefix_pallas(
+                kw, c, ca, cb, lpc, tgt, count, cfg, 160), 0
+        c, _ = jax.lax.scan(body, st, None, length=N_IN)
+        return c
+    t = timed("tf_fast160", run_tf, sstate, n=20,
+              fetch=lambda o: np.asarray(o.deemph[:4]))
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call (x3 drain per step)")
+
     # --- full fused step -------------------------------------------------------
     plc = BP.BatchedPLC(fused, cfg, plc_params, batch=b, fused_step=True)
     st = plc.init_state()
