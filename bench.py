@@ -115,7 +115,10 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
     cfg = M.LPCNetConfig(lookahead=0) if nc else M.LPCNetConfig()
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     fused = M.fuse_inference_params(params, cfg)
-    if _env_flag("LPCNET_BENCH_INT8"):
+    # int8 (DOT_PROD numerics -- the reference's own inference default) is
+    # the benched config; LPCNET_BENCH_INT8=0 selects bf16 for A/B
+    if os.environ.get("LPCNET_BENCH_INT8", "1").strip().lower() not in (
+            "0", "false"):
         from lpcnet_tpu.nn import quantized as Q
         fused = Q.quantize_fused(fused)
     plc_params = PM.init_params(jax.random.PRNGKey(1))
@@ -217,12 +220,13 @@ def bench_train(batch: int, n_steps: int, warmup: int = 3):
     }
     key = jax.random.PRNGKey(0)
 
-    # --- synced (public API; per-step host metric fetch) ---
+    # --- synced (public API + a per-step host metric fetch, i.e. a
+    # consumer that logs every step -- the pre-async-metrics behavior) ---
     for _ in range(warmup):
-        trainer.train_step(batch_np, key)
+        float(trainer.train_step(batch_np, key)["loss"])
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        trainer.train_step(batch_np, key)
+        float(trainer.train_step(batch_np, key)["loss"])
     synced = n_steps / (time.perf_counter() - t0)
 
     # --- pipelined (raw jitted step; sync once at the end) ---

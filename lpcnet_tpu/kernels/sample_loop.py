@@ -675,10 +675,12 @@ _WNAMES_TF_Q8 = ("emb_q8", "emb_scale", "a_rec_q8", "a_diag", "a_bias1",
                  "b_in_q8", "b_rec", "b_bias1")
 
 
-def _tf_kernel(n_samples, na, nb, q8, *refs):
+def _tf_kernel(blk_samples, n_blocks, na, nb, q8, *refs):
     """GRU-only teacher-forced kernel: precomputed u-law index sequences in,
-    (h_a, h_b, rng) out. Streams advance on a per-stream step-count prefix
-    (count=0 freezes a stream entirely)."""
+    (h_a, h_b, rng) out. `n_blocks` static conditioning blocks of
+    `blk_samples` steps each (the PLC drain's per-iteration frame nets);
+    streams advance on a per-(stream, block) step-count prefix (count=0
+    freezes a stream for that block)."""
     names = _WNAMES_TF_Q8 if q8 else _WNAMES_TF_F32
     nw = len(names)
     W = dict(zip(names, refs[:nw]))
@@ -688,26 +690,32 @@ def _tf_kernel(n_samples, na, nb, q8, *refs):
     ha_out[:] = ha_in[:]
     hb_out[:] = hb_in[:]
     rng_out[:] = rng_in[:]
-    count = count_ref[:]                                 # [BT, 1] int32
 
-    def octave(o, _):
-        sblk = sigu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T   # [BT, 8]
-        pblk = predu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
-        eblk = excu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
-        for j in range(8):
-            t = o * 8 + j
-            adv = t < count                              # [BT, 1] bool
-            h_a0 = ha_out[:]
-            h_b0 = hb_out[:]
-            h_a, h_b = _gru_ab(q8, na, nb, W, conda_ref[:], condb_ref[:],
-                               sblk[:, j:j + 1], pblk[:, j:j + 1],
-                               eblk[:, j:j + 1], h_a0, h_b0)
-            ha_out[:] = jnp.where(adv, h_a, h_a0)
-            hb_out[:] = jnp.where(adv, h_b, h_b0)
-            _draw_bytes(rng_out, adv)                    # RNG advance only
-        return 0
+    for k in range(n_blocks):                            # static unroll
+        conda_k = conda_ref[:, k * 3 * na:(k + 1) * 3 * na]
+        condb_k = condb_ref[:, k * 3 * nb:(k + 1) * 3 * nb]
+        count_k = count_ref[:, k:k + 1]                  # [BT, 1] int32
 
-    jax.lax.fori_loop(0, n_samples // 8, octave, 0)
+        def octave(oo, _, k=k, conda_k=conda_k, condb_k=condb_k,
+                   count_k=count_k):
+            o = k * (blk_samples // 8) + oo
+            sblk = sigu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
+            pblk = predu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
+            eblk = excu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
+            for j in range(8):
+                t = oo * 8 + j
+                adv = t < count_k                        # [BT, 1] bool
+                h_a0 = ha_out[:]
+                h_b0 = hb_out[:]
+                h_a, h_b = _gru_ab(q8, na, nb, W, conda_k, condb_k,
+                                   sblk[:, j:j + 1], pblk[:, j:j + 1],
+                                   eblk[:, j:j + 1], h_a0, h_b0)
+                ha_out[:] = jnp.where(adv, h_a, h_a0)
+                hb_out[:] = jnp.where(adv, h_b, h_b0)
+                _draw_bytes(rng_out, adv)                # RNG advance only
+            return 0
+
+        jax.lax.fori_loop(0, blk_samples // 8, octave, 0)
 
 
 def _tf_precompute(state: SampleState, lpc, targets, count):
@@ -747,25 +755,45 @@ def _tf_precompute(state: SampleState, lpc, targets, count):
     return sig_u, pred_u, exc_in, new_sig, new_exc, new_de
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "bt"))
-def teacher_force_prefix_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
-                                targets, count, cfg: LPCNetConfig,
-                                n_samples: int, bt: int = 0) -> SampleState:
-    """Run `count[i]` teacher-forced steps of stream i (count=0 freezes it)
-    through the GRU-only TF kernel; emits no pcm (TF callers discard it).
-    Equivalent to synthesize_frame_masked_pallas(sampled=False) with a
-    prefix advance mask, modulo one fewer rounding in the deemph carry."""
+@functools.partial(jax.jit, static_argnames=("cfg", "blk_samples", "bt"))
+def teacher_force_blocks_pallas(kw, state: SampleState, cond_a_blocks,
+                                cond_b_blocks, lpc_blocks, targets, counts,
+                                cfg: LPCNetConfig, blk_samples: int,
+                                bt: int = 0) -> SampleState:
+    """N conditioning blocks of `blk_samples` teacher-forced steps in ONE
+    kernel call (the PLC drain: per-iteration frame-net conds, one fused
+    sample-rate pass). Per (stream, block) prefix counts; emits no pcm.
+
+    Args: cond_a_blocks [B, N, 3Na], cond_b_blocks [B, N, 3Nb],
+    lpc_blocks [B, N, 16], targets [B, N*blk_samples], counts [B, N].
+    The signal-state closed form chains block to block outside the kernel;
+    the kernel carries only (h_a, h_b, rng)."""
     q8 = is_q8_bundle(kw)
     na, nb = cfg.rnn_units1, cfg.rnn_units2
-    b = cond_a.shape[0]
+    b, n_blocks = counts.shape
     bt = bt or (int(_BT_ENV) if _BT_ENV else min(_pick_bt(b), 256))
     assert b % bt == 0, f"batch {b} must be a multiple of {bt}"
-    assert n_samples % 8 == 0
+    assert blk_samples % 8 == 0
+    counts = jnp.asarray(counts, jnp.int32)
 
-    sig_u, pred_u, exc_in, new_sig, new_exc, new_de = _tf_precompute(
-        state, lpc, targets, count)
+    # closed-form signal precompute, chained across blocks
+    sigs, preds, excs = [], [], []
+    sig_state = state
+    for k in range(n_blocks):
+        tgt_k = targets[:, k * blk_samples:(k + 1) * blk_samples]
+        s_u, p_u, e_in, n_sig, n_exc, n_de = _tf_precompute(
+            sig_state, lpc_blocks[:, k], tgt_k, counts[:, k])
+        sigs.append(s_u)
+        preds.append(p_u)
+        excs.append(e_in)
+        sig_state = sig_state._replace(last_sig=n_sig, last_exc=n_exc,
+                                       deemph=n_de)
+    sig_u = jnp.concatenate(sigs, axis=1)
+    pred_u = jnp.concatenate(preds, axis=1)
+    exc_in = jnp.concatenate(excs, axis=1)
     rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr,
                      state.rng.jcong], axis=1)            # [B, 4] uint32
+    n_total = n_blocks * blk_samples
 
     def w_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
@@ -775,18 +803,18 @@ def teacher_force_prefix_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
         return pl.BlockSpec((bt, cols), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    t_spec = pl.BlockSpec((n_samples, bt), lambda i: (0, i),
+    t_spec = pl.BlockSpec((n_total, bt), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
 
     names = _WNAMES_TF_Q8 if q8 else _WNAMES_TF_F32
-    kernel = functools.partial(_tf_kernel, n_samples, na, nb, q8)
+    kernel = functools.partial(_tf_kernel, blk_samples, n_blocks, na, nb, q8)
     in_specs = ([w_spec(kw[n].shape) for n in names]
-                + [b_spec(3 * na), b_spec(3 * nb), b_spec(1),
-                   t_spec, t_spec, t_spec,
+                + [b_spec(n_blocks * 3 * na), b_spec(n_blocks * 3 * nb),
+                   b_spec(n_blocks), t_spec, t_spec, t_spec,
                    b_spec(na), b_spec(nb), b_spec(4)])
     operands = ([kw[n] for n in names]
-                + [cond_a, cond_b, jnp.asarray(count, jnp.int32)[:, None],
-                   sig_u.T, pred_u.T, exc_in.T,
+                + [cond_a_blocks.reshape(b, -1), cond_b_blocks.reshape(b, -1),
+                   counts, sig_u.T, pred_u.T, exc_in.T,
                    state.gru_a, state.gru_b, rng])
     out_shapes = (
         jax.ShapeDtypeStruct((b, na), jnp.float32),
@@ -806,32 +834,55 @@ def teacher_force_prefix_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
     )(*operands)
 
     return SampleState(
-        gru_a=ha, gru_b=hb, last_sig=new_sig, last_exc=new_exc,
-        deemph=new_de,
+        gru_a=ha, gru_b=hb, last_sig=sig_state.last_sig,
+        last_exc=sig_state.last_exc, deemph=sig_state.deemph,
         rng=Kiss99State(rng2[:, 0], rng2[:, 1], rng2[:, 2], rng2[:, 3]),
     )
 
 
-def teacher_force_prefix_auto(kw, state, cond_a, cond_b, lpc, targets,
-                              count, cfg) -> SampleState:
-    """Batch-padding wrapper for teacher_force_prefix_pallas (padding
+def teacher_force_prefix_pallas(kw, state: SampleState, cond_a, cond_b, lpc,
+                                targets, count, cfg: LPCNetConfig,
+                                n_samples: int, bt: int = 0) -> SampleState:
+    """Run `count[i]` teacher-forced steps of stream i (count=0 freezes it)
+    through the GRU-only TF kernel; emits no pcm (TF callers discard it).
+    Equivalent to synthesize_frame_masked_pallas(sampled=False) with a
+    prefix advance mask, modulo one fewer rounding in the deemph carry."""
+    return teacher_force_blocks_pallas(
+        kw, state, cond_a[:, None], cond_b[:, None], lpc[:, None], targets,
+        jnp.asarray(count, jnp.int32)[:, None], cfg, n_samples, bt)
+
+
+def teacher_force_blocks_auto(kw, state, cond_a_blocks, cond_b_blocks,
+                              lpc_blocks, targets, counts, cfg
+                              ) -> SampleState:
+    """Batch-padding wrapper for teacher_force_blocks_pallas (padding
     streams get count=0, so they are inert)."""
-    b = cond_a.shape[0]
-    n = targets.shape[-1]
+    b, n_blocks = counts.shape
+    n = targets.shape[-1] // n_blocks
+    counts = jnp.asarray(counts, jnp.int32)
     pb = (b + 255) // 256 * 256
     if pb == b:
-        return teacher_force_prefix_pallas(kw, state, cond_a, cond_b, lpc,
-                                           targets, count, cfg, n)
+        return teacher_force_blocks_pallas(
+            kw, state, cond_a_blocks, cond_b_blocks, lpc_blocks, targets,
+            counts, cfg, n)
 
     def pad(x):
         widths = [(0, pb - b)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths)
 
     st_p = jax.tree.map(pad, state)
-    new_p = teacher_force_prefix_pallas(
-        kw, st_p, pad(cond_a), pad(cond_b), pad(lpc), pad(targets),
-        pad(jnp.asarray(count, jnp.int32)), cfg, n)
+    new_p = teacher_force_blocks_pallas(
+        kw, st_p, pad(cond_a_blocks), pad(cond_b_blocks), pad(lpc_blocks),
+        pad(targets), pad(counts), cfg, n)
     return jax.tree.map(lambda x: x[:b], new_p)
+
+
+def teacher_force_prefix_auto(kw, state, cond_a, cond_b, lpc, targets,
+                              count, cfg) -> SampleState:
+    """Single-block teacher_force_blocks_auto."""
+    return teacher_force_blocks_auto(
+        kw, state, cond_a[:, None], cond_b[:, None], lpc[:, None], targets,
+        jnp.asarray(count, jnp.int32)[:, None], cfg)
 
 
 # default pending the on-chip A/B (flip after measuring on real hardware)

@@ -141,7 +141,8 @@ def pitch_index(features):
     return jnp.clip(p, 33, 255)
 
 
-def frame_network(fused, state: FrameState, features, cfg: LPCNetConfig):
+def frame_network(fused, state: FrameState, features, cfg: LPCNetConfig,
+                  precision=None):
     """One frame of conditioning. features: [B, 36] (or [B, >=20]).
 
     Returns (new_state, cond [B, cond], cond_a [B, 3Na], cond_b [B, 3Nb],
@@ -149,19 +150,23 @@ def frame_network(fused, state: FrameState, features, cfg: LPCNetConfig):
 
     Replicates run_frame_network (src/lpcnet.c:82-120): conv warmup zeroing,
     delayed LPC via the old_lpc FIFO, optional e2e rc path, lpc_gamma.
+    `precision` overrides the matmul mode (default HIGHEST = f32-exact).
     """
+    pr = nn.HIGHEST if precision is None else precision
     f20 = features[..., : cfg.nb_used_features]
     pembed = nn.embedding(fused["embed_pitch"], pitch_index(features))
     x = jnp.concatenate([f20, pembed], axis=-1)
-    c1, mem1 = nn.conv1d_stream(fused["feature_conv1"], x, state.conv1_mem)
+    c1, mem1 = nn.conv1d_stream(fused["feature_conv1"], x, state.conv1_mem,
+                                precision=pr)
     conv1_delay = (cfg.conv_kernel - 1) // 2
     c1 = jnp.where((state.frame_count < conv1_delay)[..., None], 0.0, c1)
-    c2, mem2 = nn.conv1d_stream(fused["feature_conv2"], c1, state.conv2_mem)
+    c2, mem2 = nn.conv1d_stream(fused["feature_conv2"], c1, state.conv2_mem,
+                                precision=pr)
     c2 = jnp.where((state.frame_count < cfg.lookahead)[..., None], 0.0, c2)
-    d1 = nn.dense(fused["feature_dense1"], c2, "tanh")
-    cond = nn.dense(fused["feature_dense2"], d1, "tanh")
-    cond_a = nn.dense(fused["cond_to_a"], cond)
-    cond_b = nn.dense(fused["cond_to_b"], cond)
+    d1 = nn.dense(fused["feature_dense1"], c2, "tanh", precision=pr)
+    cond = nn.dense(fused["feature_dense2"], d1, "tanh", precision=pr)
+    cond_a = nn.dense(fused["cond_to_a"], cond, precision=pr)
+    cond_b = nn.dense(fused["cond_to_b"], cond, precision=pr)
 
     if cfg.e2e:
         # cond is already tanh-bounded; the first 16 units are the RCs
@@ -182,6 +187,90 @@ def frame_network(fused, state: FrameState, features, cfg: LPCNetConfig):
     new_state = FrameState(mem1, mem2, new_old,
                            jnp.minimum(state.frame_count + 1, 1000))
     return new_state, cond, cond_a, cond_b, lpc
+
+
+def frame_network_flush(fused, state: FrameState, ring, count,
+                        cfg: LPCNetConfig):
+    """`count[i]` consecutive frame_network steps of stream i over known
+    inputs, as ONE batched call (count=0 freezes a stream).
+
+    Equivalent to count sequential frame_network calls on ring[:, 0..c-1]
+    but the convs run as a single [B, T, k*cin] windowed matmul, the dense
+    stack and LPC select run ONCE on the last active position instead of
+    per step, and lpc_from_cepstrum batches its irfft over all T rows.
+    Built for the batched PLC's deferred-frame-net flush
+    (frame_network_deferred drains, src/lpcnet.c:82-120 state semantics).
+
+    Args: ring [B, T, 36] inputs in flush order; count [B] int32 in [0, T].
+    Returns (new_state, cond_a, cond_b, lpc) -- cond/lpc of the LAST active
+    step (undefined where count=0; caller masks).
+    """
+    b, T = ring.shape[0], ring.shape[1]
+    k = cfg.conv_kernel
+    count = jnp.asarray(count, jnp.int32)
+    f20 = ring[..., : cfg.nb_used_features]
+    pembed = nn.embedding(fused["embed_pitch"], pitch_index(ring))
+    x = jnp.concatenate([f20, pembed], axis=-1)          # [B, T, cin1]
+
+    def conv_seq(params, mem, seq, zero_before):
+        """Streaming conv over T steps: [B, T, cout] outputs + the per-step
+        warmup zeroing (frame_count advances by t within the flush)."""
+        ext = jnp.concatenate([mem, seq], axis=1)        # [B, k-1+T, cin]
+        win = jnp.stack([ext[:, t:t + k] for t in range(T)], axis=1)
+        flat_w = params["kernel"].reshape(-1, params["kernel"].shape[-1])
+        y = jnp.matmul(win.reshape(b, T, -1), flat_w,
+                       precision=nn.HIGHEST) + params["bias"]
+        y = nn.activate(y, "tanh")
+        fc_t = state.frame_count[:, None] + jnp.arange(T)[None, :]
+        y = jnp.where((fc_t < zero_before)[..., None], 0.0, y)
+        new_mem = jax.vmap(
+            lambda e, c: jax.lax.dynamic_slice(e, (c, 0), (k - 1,
+                                                           e.shape[-1]))
+        )(ext, count)
+        return y, new_mem
+
+    conv1_delay = (cfg.conv_kernel - 1) // 2
+    c1, mem1 = conv_seq(fused["feature_conv1"], state.conv1_mem, x,
+                        conv1_delay)
+    c2, mem2 = conv_seq(fused["feature_conv2"], state.conv2_mem, c1,
+                        cfg.lookahead)
+
+    # dense stack once, on the last active position
+    last = jnp.maximum(count - 1, 0)
+    oh = (jnp.arange(T)[None, :] == last[:, None]).astype(c2.dtype)
+    c2_sel = jnp.einsum("bt,btc->bc", oh, c2)
+    d1 = nn.dense(fused["feature_dense1"], c2_sel, "tanh")
+    cond = nn.dense(fused["feature_dense2"], d1, "tanh")
+    cond_a = nn.dense(fused["cond_to_a"], cond)
+    cond_b = nn.dense(fused["cond_to_b"], cond)
+
+    if cfg.e2e:
+        lpc = lpc_mod.rc2lpc(cond[..., :LPC_ORDER])
+        new_old = state.old_lpc
+    else:
+        lpc_now = lpc_mod.lpc_from_cepstrum(ring[..., :18])  # [B, T, 16]
+        if cfg.lookahead > 0:
+            # FIFO pushed count times: emitted lpc at step c-1 and the
+            # final FIFO rows are windows over [reversed old FIFO | lpc_now]
+            ext2 = jnp.concatenate([state.old_lpc[:, ::-1], lpc_now], axis=1)
+            lpc = jnp.take_along_axis(
+                ext2, jnp.maximum(count - 1, 0)[:, None, None]
+                .repeat(LPC_ORDER, -1), axis=1)[:, 0]
+            la = cfg.lookahead
+            idx = (la + count[:, None] - 1
+                   - jnp.arange(la)[None, :])             # [B, la]
+            new_old = jnp.take_along_axis(
+                ext2, idx[..., None].repeat(LPC_ORDER, -1), axis=1)
+        else:
+            lpc = jnp.take_along_axis(
+                lpc_now, jnp.maximum(count - 1, 0)[:, None, None]
+                .repeat(LPC_ORDER, -1), axis=1)[:, 0]
+            new_old = state.old_lpc
+    if cfg.lpc_gamma != 1.0:
+        lpc = lpc_mod.lpc_weighting(lpc, cfg.lpc_gamma)
+    new_state = FrameState(mem1, mem2, new_old,
+                           jnp.minimum(state.frame_count + count, 1000))
+    return new_state, cond_a, cond_b, lpc
 
 
 # --------------------------------------------------------------------------

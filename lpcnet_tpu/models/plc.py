@@ -52,16 +52,20 @@ def init_state(batch: int, cfg: PLCConfig | None = None) -> PLCNetState:
                        jnp.zeros((batch, cfg.gru2_size), jnp.float32))
 
 
-def compute_plc_pred(params, state: PLCNetState, plc_input
+def compute_plc_pred(params, state: PLCNetState, plc_input,
+                     precision=nn.HIGHEST
                      ) -> Tuple[PLCNetState, jnp.ndarray]:
     """One step of feature prediction (src/lpcnet_plc.c:135-145).
 
     Args: plc_input [B, 57]. Returns (new_state, features [B, 20]).
+    `precision` selects the matmul mode (HIGHEST = f32-exact C numerics;
+    DEFAULT = bf16 MXU passes, ~1e-3 feature error, for serving batches).
     """
-    d = nn.dense(params["plc_dense1"], plc_input, "tanh")
-    h1 = nn.gru_step(params["plc_gru1"], state.gru1, d)
-    h2 = nn.gru_step(params["plc_gru2"], state.gru2, h1)
-    out = nn.dense(params["plc_out"], h2)
+    d = nn.dense(params["plc_dense1"], plc_input, "tanh",
+                 precision=precision)
+    h1 = nn.gru_step(params["plc_gru1"], state.gru1, d, precision=precision)
+    h2 = nn.gru_step(params["plc_gru2"], state.gru2, h1, precision=precision)
+    out = nn.dense(params["plc_out"], h2, precision=precision)
     out = out.at[..., NB_FEATURES - 1].set(
         jnp.minimum(0.5, out[..., NB_FEATURES - 1] + 0.1))
     return PLCNetState(h1, h2), out

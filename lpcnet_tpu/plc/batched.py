@@ -292,6 +292,19 @@ def _fnet_masked(fused, s: BatchedPLCState, feats36, active, cfg):
 
 
 _FASTTF = __import__("os").environ.get("LPCNET_PLC_FASTTF", "1") != "0"
+_FASTFNET = __import__("os").environ.get("LPCNET_PLC_FASTFNET", "1") != "0"
+
+
+def _fnet_flush_masked(fused, s: BatchedPLCState, ring, count, cfg):
+    """Batched deferred-frame-net flush: count[i] frame_network steps of
+    stream i over ring[:, :count[i]] as one frame_network_flush call."""
+    new_f, ca, cb, lpc = M.frame_network_flush(fused, s.fstate, ring, count,
+                                               cfg)
+    active = count > 0
+    merged = _bwhere(active, (new_f, ca, cb, lpc),
+                     (s.fstate, s.cond_a, s.cond_b, s.lpc))
+    return s._replace(fstate=merged[0], cond_a=merged[1], cond_b=merged[2],
+                      lpc=merged[3])
 
 
 def _tail_masked(fused, s: BatchedPLCState, preload, preload_mask,
@@ -670,10 +683,16 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
     bl = G & skip & s.blend
     blend_old = s.blend                    # update's final pred masks on the
     #                                        pre-clear blend flag
-    # ---- conceal: flush deferred frame nets (lost streams) ----------------
-    for i in range(MAX_DEFER):
-        s = _fnet_masked(fused, s, s.feat_ring[:, i],
-                         L & (i < s.feat_count), cfg)
+    # ---- conceal: flush deferred frame nets (lost streams) -- one batched
+    # T-step frame_network_flush call instead of MAX_DEFER masked ones ------
+    if _FASTFNET:
+        s = _fnet_flush_masked(
+            fused, s, s.feat_ring,
+            jnp.where(L, jnp.minimum(s.feat_count, MAX_DEFER), 0), cfg)
+    else:
+        for i in range(MAX_DEFER):
+            s = _fnet_masked(fused, s, s.feat_ring[:, i],
+                             L & (i < s.feat_count), cfg)
     s = s._replace(feat_count=jnp.where(L, 0, s.feat_count))
 
     if enable_blending:
@@ -729,11 +748,29 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
             pcm_fill=jnp.where(active, s.pcm_fill - count, s.pcm_fill),
             skip_analysis=jnp.where(active, s.skip_analysis + 1,
                                     s.skip_analysis))
-    for k, (ca_k, cb_k, lpc_k, output, count) in enumerate(drain):
-        if k == MAX_DRAIN - 1 and enable_blending:
+    if kw is not None and _FASTTF:
+        # blend streams never drain (bl subseteq good, drain needs lost), so
+        # their sstate is invariant across pass 2 -- capture `saved` up
+        # front and run ALL drain blocks as ONE multi-block TF kernel call
+        if enable_blending:
             saved = (saved_f[0], s.sstate, saved_f[1], saved_f[2],
                      saved_f[3])
-        s = _tf_prefix(fused, s, ca_k, cb_k, lpc_k, output, count, cfg, kw)
+        from ..kernels.sample_loop import teacher_force_blocks_auto
+        new_ss = teacher_force_blocks_auto(
+            kw, s.sstate,
+            jnp.stack([d[0] for d in drain], axis=1),
+            jnp.stack([d[1] for d in drain], axis=1),
+            jnp.stack([d[2] for d in drain], axis=1),
+            jnp.concatenate([d[3] for d in drain], axis=1),
+            jnp.stack([d[4] for d in drain], axis=1), cfg)
+        s = s._replace(sstate=new_ss)
+    else:
+        for k, (ca_k, cb_k, lpc_k, output, count) in enumerate(drain):
+            if k == MAX_DRAIN - 1 and enable_blending:
+                saved = (saved_f[0], s.sstate, saved_f[1], saved_f[2],
+                         saved_f[3])
+            s = _tf_prefix(fused, s, ca_k, cb_k, lpc_k, output, count, cfg,
+                           kw)
 
     # ---- shared sampled call 1: conceal head (lost) | update tmp (blend) --
     # (codec mode has no tmp/resync synthesis; only lost streams advance)

@@ -163,7 +163,10 @@ class Trainer:
                                      self.sched_a, self.sched_b,
                                      self.cfg.rnn_units1)
             self.state = TrainState(params, self.state.opt_state, self.state.step)
-        return {k: float(v) for k, v in metrics.items()}
+        # metrics stay DEVICE scalars: a per-step host fetch serializes the
+        # dispatch pipeline (2.4x step-rate loss measured in bench.py train
+        # mode); callers fetch at log intervals (float()/device_get)
+        return dict(metrics)
 
     def full_state(self):
         """Everything needed for exact resume: TrainState + TBPTT carry."""
@@ -189,10 +192,16 @@ class Trainer:
                 rng, sub = jax.random.split(rng)
                 metrics = self.train_step(batch, sub)
                 if metrics_log is not None:
-                    metrics_log.log(step=self._host_step, epoch=epoch, **metrics)
+                    metrics_log.log_async(step=self._host_step, epoch=epoch,
+                                          **metrics)
                 if i % log_every == 0:
-                    msg = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+                    if metrics_log is not None:
+                        metrics_log.flush_async()
+                    msg = " ".join(f"{k}={float(v):.4f}"
+                                   for k, v in metrics.items())
                     print(f"epoch {epoch} step {i}: {msg}", flush=True)
+            if metrics_log is not None:
+                metrics_log.flush_async()
             if checkpoint_path:
                 save_checkpoint(f"{checkpoint_path}_{epoch + 1:02d}.npz",
                                 jax.device_get(self.state.params), self.cfg)

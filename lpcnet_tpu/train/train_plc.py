@@ -172,7 +172,9 @@ class PLCTrainer:
         batch = pmesh.shard_batch(self.mesh, {k: jnp.asarray(v)
                                               for k, v in batch.items()})
         self.state, metrics = self._step(self.state, batch, rng)
-        return {k: float(v) for k, v in metrics.items()}
+        # device scalars; callers fetch at log intervals (see
+        # train_lpcnet.Trainer.train_step)
+        return dict(metrics)
 
     def fit(self, loader, epochs: Optional[int] = None, log_every: int = 20,
             checkpoint_path: Optional[str] = None, logdir: Optional[str] = None):
@@ -186,9 +188,11 @@ class PLCTrainer:
             for i, batch in enumerate(loader):
                 m = self.train_step(batch)
                 if metrics_log is not None:
-                    metrics_log.log(step=i, epoch=epoch, **m)
+                    metrics_log.log_async(step=i, epoch=epoch, **m)
                 if i % log_every == 0:
-                    msg = " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                    if metrics_log is not None:
+                        metrics_log.flush_async()
+                    msg = " ".join(f"{k}={float(v):.4f}" for k, v in m.items())
                     print(f"plc epoch {epoch} step {i}: {msg}", flush=True)
             if hasattr(loader, "on_epoch_end"):
                 loader.on_epoch_end()

@@ -123,7 +123,9 @@ class RDOVAETrainer:
         batch = pmesh.shard_batch(self.mesh, {k: jnp.asarray(v)
                                               for k, v in batch.items()})
         self.state, metrics = self._step(self.state, batch, rng)
-        return {k: float(v) for k, v in metrics.items()}
+        # device scalars; callers fetch at log intervals (see
+        # train_lpcnet.Trainer.train_step)
+        return dict(metrics)
 
     def fit(self, loader, epochs: Optional[int] = None, log_every: int = 20,
             checkpoint_path: Optional[str] = None, logdir: Optional[str] = None):
@@ -139,9 +141,11 @@ class RDOVAETrainer:
                 rng, sub = jax.random.split(rng)
                 m = self.train_step(batch, sub)
                 if metrics_log is not None:
-                    metrics_log.log(step=i, epoch=epoch, **m)
+                    metrics_log.log_async(step=i, epoch=epoch, **m)
                 if i % log_every == 0:
-                    msg = " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                    if metrics_log is not None:
+                        metrics_log.flush_async()
+                    msg = " ".join(f"{k}={float(v):.4f}" for k, v in m.items())
                     print(f"rdovae epoch {epoch} step {i}: {msg}", flush=True)
             if checkpoint_path:
                 flat = flatten_tree(jax.device_get(self.state.params))

@@ -149,3 +149,52 @@ def test_pdf_sampling_mode():
     h_b = jnp.asarray(np.tanh(rng.randn(b, cfg.rnn_units2)).astype(np.float32))
     exc, _ = sample_excitation_pdf(fused["dual_fc"], h_b, state.rng, corr)
     assert exc.shape == (b,) and int(exc.min()) >= 0 and int(exc.max()) < 256
+
+
+@pytest.mark.parametrize("lookahead,gamma", [(2, 1.0), (0, 0.9)])
+def test_frame_network_flush_matches_sequential(lookahead, gamma):
+    """frame_network_flush(count) == count sequential frame_network calls:
+    conv mems, LPC FIFO, frame_count, and the last step's cond/lpc."""
+    cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
+                         pitch_embed_dim=8, lookahead=lookahead,
+                         lpc_gamma=gamma)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    b, T = 7, 4
+    rng = np.random.RandomState(5)
+    ring = jnp.asarray(rng.randn(b, T, 36).astype(np.float32) * 0.4)
+    count = jnp.asarray([0, 1, 2, 3, 4, 4, 2], jnp.int32)
+    s0 = M.init_frame_state(b, cfg)
+    # non-trivial carried state: run two warmup frames first
+    for i in range(3):
+        warm = jnp.asarray(rng.randn(b, 36).astype(np.float32) * 0.4)
+        s0, _, ca0, cb0, lpc0 = M.frame_network(fused, s0, warm, cfg)
+
+    # reference: per-stream sequential calls with masked merge
+    ref_s, ref_ca, ref_cb, ref_lpc = s0, ca0, cb0, lpc0
+    for i in range(T):
+        act = i < count
+        new_s, _, ca, cb, lpc = M.frame_network(fused, ref_s, ring[:, i], cfg)
+        pick = lambda n, o: jnp.where(
+            act.reshape((b,) + (1,) * (n.ndim - 1)), n, o)
+        ref_s = jax.tree.map(pick, new_s, ref_s)
+        ref_ca, ref_cb, ref_lpc = (pick(ca, ref_ca), pick(cb, ref_cb),
+                                   pick(lpc, ref_lpc))
+
+    got_s, got_ca, got_cb, got_lpc = M.frame_network_flush(
+        fused, s0, ring, count, cfg)
+    act = np.asarray(count) > 0
+    np.testing.assert_allclose(np.asarray(got_s.conv1_mem)[act],
+                               np.asarray(ref_s.conv1_mem)[act], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_s.conv2_mem)[act],
+                               np.asarray(ref_s.conv2_mem)[act], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_s.old_lpc)[act],
+                               np.asarray(ref_s.old_lpc)[act], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_s.frame_count)[act],
+                                  np.asarray(ref_s.frame_count)[act])
+    np.testing.assert_allclose(np.asarray(got_ca)[act],
+                               np.asarray(ref_ca)[act], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_cb)[act],
+                               np.asarray(ref_cb)[act], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_lpc)[act],
+                               np.asarray(ref_lpc)[act], atol=1e-5)

@@ -202,3 +202,57 @@ def test_tf_fast_path_q8_and_pad():
                                   np.asarray(s0.gru_a[:50]))
     np.testing.assert_array_equal(np.asarray(s_tf.last_sig[:50]),
                                   np.asarray(s0.last_sig[:50]))
+
+
+def test_tf_blocks_matches_sequential_prefix_calls():
+    """One multi-block TF call == N sequential single-block TF calls
+    (bit-identical: same kernel math, same closed-form chaining)."""
+    import jax.numpy as jnp
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(9), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    kw = K.kernel_weights(fused, cfg)
+
+    b, n, nblk = 256, 16, 3
+    fstate = M.init_frame_state(b, cfg)
+    cas, cbs, lpcs = [], [], []
+    for k in range(nblk):
+        feats = jax.random.normal(jax.random.PRNGKey(40 + k), (b, 36)) * 0.3
+        fstate, _, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+        cas.append(ca)
+        cbs.append(cb)
+        lpcs.append(lpc)
+    s0 = M.init_sample_state(b, cfg)._replace(
+        deemph=jax.random.normal(jax.random.PRNGKey(50), (b,)) * 200.0)
+    targets = jax.random.normal(jax.random.PRNGKey(51), (b, nblk * n)) * 900.0
+    # drain-shaped counts: prefix within each block, incl. partial + empty
+    counts = np.zeros((b, nblk), np.int32)
+    counts[:128] = [n, n, 8]
+    counts[128:192] = [n, 0, 0]
+    counts[192:] = [0, 0, 0]
+    # warmup-transition case: frozen block 0, active later blocks
+    counts[192:224] = [0, n, n]
+    counts = jnp.asarray(counts)
+
+    s_seq = s0
+    for k in range(nblk):
+        s_seq = K.teacher_force_prefix_pallas(
+            kw, s_seq, cas[k], cbs[k], lpcs[k],
+            targets[:, k * n:(k + 1) * n], counts[:, k], cfg, n)
+    s_blk = K.teacher_force_blocks_pallas(
+        kw, s0, jnp.stack(cas, 1), jnp.stack(cbs, 1), jnp.stack(lpcs, 1),
+        targets, counts, cfg, n)
+
+    for f in ("z", "w", "jsr", "jcong"):
+        assert np.array_equal(np.asarray(getattr(s_blk.rng, f)),
+                              np.asarray(getattr(s_seq.rng, f))), f
+    np.testing.assert_array_equal(np.asarray(s_blk.gru_a),
+                                  np.asarray(s_seq.gru_a))
+    np.testing.assert_array_equal(np.asarray(s_blk.gru_b),
+                                  np.asarray(s_seq.gru_b))
+    np.testing.assert_array_equal(np.asarray(s_blk.last_sig),
+                                  np.asarray(s_seq.last_sig))
+    np.testing.assert_array_equal(np.asarray(s_blk.last_exc),
+                                  np.asarray(s_seq.last_exc))
+    np.testing.assert_array_equal(np.asarray(s_blk.deemph),
+                                  np.asarray(s_seq.deemph))

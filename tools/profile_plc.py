@@ -106,6 +106,17 @@ def main():
     t = timed("fnet", fnet_s, fstate, feats36, n=20)
     print(f"           = {t / N_IN * 1e3:.3f} ms/call (x9 per step)")
 
+    # --- fnet, bf16 MXU passes (precision A/B) -------------------------------
+    @scanned
+    def fnet_bf16_s(fst, f36):
+        new_f, _, ca, cb, lpc = M.frame_network(fused, fst, f36, cfg,
+                                                precision=jax.lax.Precision.DEFAULT)
+        fst2 = jax.tree.map(lambda n, o: jnp.where(
+            active.reshape((b,) + (1,) * (n.ndim - 1)), n, o), new_f, fst)
+        return fst2, f36.at[:, 0].add(ca[:, 0] * 1e-6)
+    t = timed("fnet_bf16", fnet_bf16_s, fstate, feats36, n=20)
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call")
+
     # --- plc pred -----------------------------------------------------------
     pstate = PM.init_state(b)
     inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
@@ -118,6 +129,17 @@ def main():
         return ps3, x.at[:, 0].add(pred[:, 0] * 1e-6)
     t = timed("plcpred", plc_s, pstate, inp, n=20)
     print(f"           = {t / N_IN * 1e3:.3f} ms/call (x2 per step)")
+
+    # --- plc pred, bf16 MXU passes -------------------------------------------
+    @scanned
+    def plc_bf16_s(ps, x):
+        ps2, pred = PM.compute_plc_pred(plc_params, ps, x,
+                                        precision=jax.lax.Precision.DEFAULT)
+        ps3 = jax.tree.map(lambda n, o: jnp.where(
+            active.reshape((b,) + (1,) * (n.ndim - 1)), n, o), ps2, ps)
+        return ps3, x.at[:, 0].add(pred[:, 0] * 1e-6)
+    t = timed("plc_bf16", plc_bf16_s, pstate, inp, n=20)
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call")
 
     # --- masked tails ---------------------------------------------------------
     sstate = M.init_sample_state(b, cfg)

@@ -92,9 +92,10 @@ def main():
             rng, sub = jax.random.split(rng)
             m = trainer.train_step(batch, sub)
             step += 1
-            mlog.log(step=step, **m)
+            mlog.log_async(step=step, **m)
             if step % 50 == 0:
-                print(f"step {step}: loss={m['loss']:.4f} "
+                mlog.flush_async()
+                print(f"step {step}: loss={float(m['loss']):.4f} "
                       f"({step / (time.time() - t0):.2f} steps/s)", flush=True)
             if args.save_every and step % args.save_every == 0:
                 save(jax.device_get(trainer.state.params), f"_{step}")

@@ -62,7 +62,7 @@ def main():
             m = tr.train_step(batch)
             step += 1
             if step % 50 == 0:
-                print(f"plc step {step}: loss={m['loss']:.4f} "
+                print(f"plc step {step}: loss={float(m['loss']):.4f} "
                       f"({step/(time.time()-t0):.2f} steps/s)", flush=True)
             if step >= args.steps:
                 break

@@ -40,8 +40,8 @@ def main():
             m = tr.train_step(batch, sub)
             step += 1
             if step % 25 == 0:
-                print(f"rdovae step {step}: total={m['total']:.4f} "
-                      f"dist_h={m['dist_hard']:.4f} rate={m['hard_rate_bits']:.1f}b "
+                print(f"rdovae step {step}: total={float(m['total']):.4f} "
+                      f"dist_h={float(m['dist_hard']):.4f} rate={float(m['hard_rate_bits']):.1f}b "
                       f"({step/(time.time()-t0):.2f} steps/s)", flush=True)
             if step >= args.steps:
                 break
