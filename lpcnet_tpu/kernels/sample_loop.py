@@ -684,7 +684,7 @@ def _tf_kernel(blk_samples, n_blocks, na, nb, q8, *refs):
     names = _WNAMES_TF_Q8 if q8 else _WNAMES_TF_F32
     nw = len(names)
     W = dict(zip(names, refs[:nw]))
-    (conda_ref, condb_ref, count_ref, sigu_ref, predu_ref, excu_ref,
+    (conda_ref, condb_ref, count_ref, idx_ref,
      ha_in, hb_in, rng_in, ha_out, hb_out, rng_out) = refs[nw:]
 
     ha_out[:] = ha_in[:]
@@ -699,17 +699,18 @@ def _tf_kernel(blk_samples, n_blocks, na, nb, q8, *refs):
         def octave(oo, _, k=k, conda_k=conda_k, condb_k=condb_k,
                    count_k=count_k):
             o = k * (blk_samples // 8) + oo
-            sblk = sigu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
-            pblk = predu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
-            eblk = excu_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
+            # ONE packed block read per octave (sig | pred<<9 | exc<<18):
+            # a third of the sublane->lane relayout traffic of 3 blocks
+            iblk = idx_ref[pl.ds(pl.multiple_of(o * 8, 8), 8), :].T
             for j in range(8):
                 t = oo * 8 + j
                 adv = t < count_k                        # [BT, 1] bool
+                v = iblk[:, j:j + 1]
                 h_a0 = ha_out[:]
                 h_b0 = hb_out[:]
                 h_a, h_b = _gru_ab(q8, na, nb, W, conda_k, condb_k,
-                                   sblk[:, j:j + 1], pblk[:, j:j + 1],
-                                   eblk[:, j:j + 1], h_a0, h_b0)
+                                   v & 511, (v >> 9) & 511, v >> 18,
+                                   h_a0, h_b0)
                 ha_out[:] = jnp.where(adv, h_a, h_a0)
                 hb_out[:] = jnp.where(adv, h_b, h_b0)
                 _draw_bytes(rng_out, adv)                # RNG advance only
@@ -723,8 +724,9 @@ def _tf_precompute(state: SampleState, lpc, targets, count):
 
     Returns (sig_u, pred_u, exc_in [B, n] int32 index sequences;
     new_last_sig, new_last_exc, new_deemph terminal values at each stream's
-    prefix length). All static-shaped vector math -- the only per-stream
-    dynamic op is the tiny [B, 16] terminal-window slice."""
+    prefix length). All static-shaped vector math; the per-stream terminal
+    selects are one-hot contractions, NOT gathers (TPU gathers serialize --
+    the same lesson as the Viterbi rewrite, BENCHMARKS.md)."""
     targets = jnp.asarray(targets, jnp.float32)
     b, n = targets.shape
     count = jnp.asarray(count, jnp.int32)
@@ -742,15 +744,16 @@ def _tf_precompute(state: SampleState, lpc, targets, count):
         [state.last_exc[:, None].astype(jnp.int32), exc_tf[:, :-1]], axis=1)
 
     adv_any = count > 0
-    last = jnp.maximum(count - 1, 0)[:, None]
-    win = jax.vmap(lambda e, c: jax.lax.dynamic_slice(e, (c,), (LPC_ORDER,))
-                   )(ext, jnp.maximum(count, 0))
+    oh_last = (jnp.arange(n)[None, :]
+               == jnp.maximum(count - 1, 0)[:, None]).astype(jnp.float32)
+    # terminal window ext[:, c:c+16] as 16 shifted one-hot row-dots
+    win = jnp.stack([jnp.sum(oh_last * ext[:, k + 1:k + 1 + n], axis=1)
+                     for k in range(LPC_ORDER)], axis=1)   # [B, 16]
     new_sig = jnp.where(adv_any[:, None], win[:, ::-1], state.last_sig)
-    new_exc = jnp.where(adv_any,
-                        jnp.take_along_axis(exc_tf, last, axis=1)[:, 0],
+    exc_sel = jnp.sum(oh_last * exc_tf.astype(jnp.float32), axis=1)
+    new_exc = jnp.where(adv_any, exc_sel.astype(exc_tf.dtype),
                         state.last_exc)
-    new_de = jnp.where(adv_any,
-                       jnp.take_along_axis(targets, last, axis=1)[:, 0],
+    new_de = jnp.where(adv_any, jnp.sum(oh_last * targets, axis=1),
                        state.deemph)
     return sig_u, pred_u, exc_in, new_sig, new_exc, new_de
 
@@ -791,6 +794,7 @@ def teacher_force_blocks_pallas(kw, state: SampleState, cond_a_blocks,
     sig_u = jnp.concatenate(sigs, axis=1)
     pred_u = jnp.concatenate(preds, axis=1)
     exc_in = jnp.concatenate(excs, axis=1)
+    packed = sig_u | (pred_u << 9) | (exc_in << 18)       # [B, n] int32
     rng = jnp.stack([state.rng.z, state.rng.w, state.rng.jsr,
                      state.rng.jcong], axis=1)            # [B, 4] uint32
     n_total = n_blocks * blk_samples
@@ -810,11 +814,11 @@ def teacher_force_blocks_pallas(kw, state: SampleState, cond_a_blocks,
     kernel = functools.partial(_tf_kernel, blk_samples, n_blocks, na, nb, q8)
     in_specs = ([w_spec(kw[n].shape) for n in names]
                 + [b_spec(n_blocks * 3 * na), b_spec(n_blocks * 3 * nb),
-                   b_spec(n_blocks), t_spec, t_spec, t_spec,
+                   b_spec(n_blocks), t_spec,
                    b_spec(na), b_spec(nb), b_spec(4)])
     operands = ([kw[n] for n in names]
                 + [cond_a_blocks.reshape(b, -1), cond_b_blocks.reshape(b, -1),
-                   counts, sig_u.T, pred_u.T, exc_in.T,
+                   counts, packed.T,
                    state.gru_a, state.gru_b, rng])
     out_shapes = (
         jax.ShapeDtypeStruct((b, na), jnp.float32),

@@ -212,9 +212,13 @@ def frame_network_flush(fused, state: FrameState, ring, count,
     pembed = nn.embedding(fused["embed_pitch"], pitch_index(ring))
     x = jnp.concatenate([f20, pembed], axis=-1)          # [B, T, cin1]
 
+    oh_c = (jnp.arange(T + 1)[None, :] == count[:, None]).astype(jnp.float32)
+
     def conv_seq(params, mem, seq, zero_before):
         """Streaming conv over T steps: [B, T, cout] outputs + the per-step
-        warmup zeroing (frame_count advances by t within the flush)."""
+        warmup zeroing (frame_count advances by t within the flush). The
+        terminal-mem window select is a one-hot contraction, not a gather
+        (TPU gathers serialize)."""
         ext = jnp.concatenate([mem, seq], axis=1)        # [B, k-1+T, cin]
         win = jnp.stack([ext[:, t:t + k] for t in range(T)], axis=1)
         flat_w = params["kernel"].reshape(-1, params["kernel"].shape[-1])
@@ -223,10 +227,10 @@ def frame_network_flush(fused, state: FrameState, ring, count,
         y = nn.activate(y, "tanh")
         fc_t = state.frame_count[:, None] + jnp.arange(T)[None, :]
         y = jnp.where((fc_t < zero_before)[..., None], 0.0, y)
-        new_mem = jax.vmap(
-            lambda e, c: jax.lax.dynamic_slice(e, (c, 0), (k - 1,
-                                                           e.shape[-1]))
-        )(ext, count)
+        # new_mem[:, j] = ext[:, count + j]
+        new_mem = jnp.stack(
+            [jnp.einsum("bs,bsc->bc", oh_c, ext[:, j:j + T + 1])
+             for j in range(k - 1)], axis=1)
         return y, new_mem
 
     conv1_delay = (cfg.conv_kernel - 1) // 2
@@ -249,22 +253,28 @@ def frame_network_flush(fused, state: FrameState, ring, count,
         new_old = state.old_lpc
     else:
         lpc_now = lpc_mod.lpc_from_cepstrum(ring[..., :18])  # [B, T, 16]
+        last1 = jnp.maximum(count - 1, 0)
         if cfg.lookahead > 0:
             # FIFO pushed count times: emitted lpc at step c-1 and the
             # final FIFO rows are windows over [reversed old FIFO | lpc_now]
+            # -- selected by one-hot contractions (no TPU gathers)
             ext2 = jnp.concatenate([state.old_lpc[:, ::-1], lpc_now], axis=1)
-            lpc = jnp.take_along_axis(
-                ext2, jnp.maximum(count - 1, 0)[:, None, None]
-                .repeat(LPC_ORDER, -1), axis=1)[:, 0]
             la = cfg.lookahead
-            idx = (la + count[:, None] - 1
-                   - jnp.arange(la)[None, :])             # [B, la]
-            new_old = jnp.take_along_axis(
-                ext2, idx[..., None].repeat(LPC_ORDER, -1), axis=1)
+            w2 = ext2.shape[1]
+            oh = (jnp.arange(w2)[None, :] == last1[:, None]).astype(
+                jnp.float32)
+            lpc = jnp.einsum("bs,bsk->bk", oh, ext2)
+            new_old = jnp.stack(
+                [jnp.einsum(
+                    "bs,bsk->bk",
+                    (jnp.arange(w2)[None, :]
+                     == (la + last1 - jnp.where(count > 0, 0, 1) - j)[:, None]
+                     ).astype(jnp.float32), ext2)
+                 for j in range(la)], axis=1)
         else:
-            lpc = jnp.take_along_axis(
-                lpc_now, jnp.maximum(count - 1, 0)[:, None, None]
-                .repeat(LPC_ORDER, -1), axis=1)[:, 0]
+            oh = (jnp.arange(T)[None, :] == last1[:, None]).astype(
+                jnp.float32)
+            lpc = jnp.einsum("bs,bsk->bk", oh, lpc_now)
             new_old = state.old_lpc
     if cfg.lpc_gamma != 1.0:
         lpc = lpc_mod.lpc_weighting(lpc, cfg.lpc_gamma)

@@ -57,7 +57,14 @@ def main():
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     fused = M.fuse_inference_params(params, cfg)
     plc_params = PM.init_params(jax.random.PRNGKey(1))
-    kw = K.kernel_weights(fused, cfg)
+    if os.environ.get("LPCNET_BENCH_INT8", "0").strip().lower() not in (
+            "", "0", "false"):
+        from lpcnet_tpu.nn import quantized as Q
+        fused_k = Q.quantize_fused(fused)
+        kw = K.kernel_weights(fused_k, cfg)
+        print("(int8 kernel bundle)")
+    else:
+        kw = K.kernel_weights(fused, cfg)
     rng = np.random.RandomState(0)
     pcm = jnp.asarray((rng.randn(b, 160) * 2000).astype(np.float32))
 
