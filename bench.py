@@ -118,7 +118,7 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
     # int8 (DOT_PROD numerics -- the reference's own inference default) is
     # the benched config; LPCNET_BENCH_INT8=0 selects bf16 for A/B
     if os.environ.get("LPCNET_BENCH_INT8", "1").strip().lower() not in (
-            "0", "false"):
+            "", "0", "false"):
         from lpcnet_tpu.nn import quantized as Q
         fused = Q.quantize_fused(fused)
     plc_params = PM.init_params(jax.random.PRNGKey(1))

@@ -240,8 +240,8 @@ def frame_network_flush(fused, state: FrameState, ring, count,
                         cfg.lookahead)
 
     # dense stack once, on the last active position
-    last = jnp.maximum(count - 1, 0)
-    oh = (jnp.arange(T)[None, :] == last[:, None]).astype(c2.dtype)
+    last1 = jnp.maximum(count - 1, 0)
+    oh = (jnp.arange(T)[None, :] == last1[:, None]).astype(c2.dtype)
     c2_sel = jnp.einsum("bt,btc->bc", oh, c2)
     d1 = nn.dense(fused["feature_dense1"], c2_sel, "tanh")
     cond = nn.dense(fused["feature_dense2"], d1, "tanh")
@@ -253,7 +253,6 @@ def frame_network_flush(fused, state: FrameState, ring, count,
         new_old = state.old_lpc
     else:
         lpc_now = lpc_mod.lpc_from_cepstrum(ring[..., :18])  # [B, T, 16]
-        last1 = jnp.maximum(count - 1, 0)
         if cfg.lookahead > 0:
             # FIFO pushed count times: emitted lpc at step c-1 and the
             # final FIFO rows are windows over [reversed old FIFO | lpc_now]

@@ -194,6 +194,8 @@ class PLCTrainer:
                         metrics_log.flush_async()
                     msg = " ".join(f"{k}={float(v):.4f}" for k, v in m.items())
                     print(f"plc epoch {epoch} step {i}: {msg}", flush=True)
+            if metrics_log is not None:
+                metrics_log.flush_async()
             if hasattr(loader, "on_epoch_end"):
                 loader.on_epoch_end()
             if checkpoint_path:

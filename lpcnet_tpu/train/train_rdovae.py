@@ -147,6 +147,8 @@ class RDOVAETrainer:
                         metrics_log.flush_async()
                     msg = " ".join(f"{k}={float(v):.4f}" for k, v in m.items())
                     print(f"rdovae epoch {epoch} step {i}: {msg}", flush=True)
+            if metrics_log is not None:
+                metrics_log.flush_async()
             if checkpoint_path:
                 flat = flatten_tree(jax.device_get(self.state.params))
                 np.savez(f"{checkpoint_path}_{epoch + 1:02d}.npz", **flat)

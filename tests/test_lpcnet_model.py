@@ -151,13 +151,14 @@ def test_pdf_sampling_mode():
     assert exc.shape == (b,) and int(exc.min()) >= 0 and int(exc.max()) < 256
 
 
-@pytest.mark.parametrize("lookahead,gamma", [(2, 1.0), (0, 0.9)])
-def test_frame_network_flush_matches_sequential(lookahead, gamma):
+@pytest.mark.parametrize("lookahead,gamma,e2e",
+                         [(2, 1.0, False), (0, 0.9, False), (2, 1.0, True)])
+def test_frame_network_flush_matches_sequential(lookahead, gamma, e2e):
     """frame_network_flush(count) == count sequential frame_network calls:
     conv mems, LPC FIFO, frame_count, and the last step's cond/lpc."""
     cfg = M.LPCNetConfig(rnn_units1=64, rnn_units2=16, cond_size=32,
                          pitch_embed_dim=8, lookahead=lookahead,
-                         lpc_gamma=gamma)
+                         lpc_gamma=gamma, e2e=e2e)
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     fused = M.fuse_inference_params(params, cfg)
     b, T = 7, 4

@@ -103,6 +103,7 @@ def main():
                 break
         loader.on_epoch_end()
 
+    mlog.flush_async()
     save(jax.device_get(trainer.state.params))
     print("saved artifacts to", args.outdir, flush=True)
 
