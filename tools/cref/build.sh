@@ -7,9 +7,18 @@ REF=${REF:-/root/reference}
 BUILD=${BUILD:-$HERE/build}
 mkdir -p "$BUILD"
 
-python3 "$HERE/gen_codebooks.py" \
-  --c-out "$BUILD/ceps_codebooks.c" \
-  --npz-out "$HERE/../../tests/fixtures/codebooks.npz"
+# Real xiph codebooks auto-activate when dropped in (README "Real xiph
+# artifacts"); otherwise deterministic synthetic stand-ins are generated.
+XIPH_CB="$HERE/../../artifacts/xiph/ceps_codebooks.npz"
+if [ -f "$XIPH_CB" ]; then
+  python3 "$HERE/gen_codebooks.py" --from-npz "$XIPH_CB" \
+    --c-out "$BUILD/ceps_codebooks.c" \
+    --npz-out "$HERE/../../tests/fixtures/codebooks.npz"
+else
+  python3 "$HERE/gen_codebooks.py" \
+    --c-out "$BUILD/ceps_codebooks.c" \
+    --npz-out "$HERE/../../tests/fixtures/codebooks.npz"
+fi
 
 cc -O2 -fcommon -I"$HERE" -I"$REF/src" -I"$REF/include" \
   -o "$BUILD/harness" \

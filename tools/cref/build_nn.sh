@@ -45,4 +45,8 @@ cc -O2 -fcommon -DUSE_WEIGHTS_FILE -U__SSE__ -U__SSE2__ -U__AVX__ \
   "$REF/src/lpcnet_tables.c" "$REF/src/kiss99.c" \
   "$BUILD/ceps_codebooks.c" \
   -lm
-echo "built $BUILD/harness_nn + $BUILD/harness_nn_nc"
+# .fec byte-format reader harness (training_tf2/fec_packets.c compiled in place)
+cc -O2 -I"$REF/training_tf2" -o "$BUILD/harness_fec" \
+  "$HERE/harness_fec.c" "$REF/training_tf2/fec_packets.c"
+
+echo "built $BUILD/harness_nn + $BUILD/harness_nn_nc + $BUILD/harness_fec"

@@ -50,8 +50,17 @@ def main():
     ap.add_argument("--c-out", default=None)
     ap.add_argument("--npz-out", default=None)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--from-npz", default=None,
+                    help="use codebooks from this npz (e.g. real xiph tables "
+                         "dropped in artifacts/xiph/ceps_codebooks.npz) "
+                         "instead of synthesizing")
     args = ap.parse_args()
-    cb1, cb2, cb3, diff4 = make_codebooks(args.seed)
+    if args.from_npz:
+        d = np.load(args.from_npz)
+        cb1, cb2, cb3, diff4 = (d["ceps_codebook1"], d["ceps_codebook2"],
+                                d["ceps_codebook3"], d["ceps_codebook_diff4"])
+    else:
+        cb1, cb2, cb3, diff4 = make_codebooks(args.seed)
     if args.c_out:
         emit_c(args.c_out, [cb1, cb2, cb3, diff4])
     if args.npz_out:

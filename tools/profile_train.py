@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Decompose the vocoder training step's time on the real chip.
+
+Times (a) the full train step, (b) forward-only loss, (c) the GRU-A
+sequence recurrence alone fwd and fwd+bwd, and scan-unroll variants, to
+find where the 157 ms at batch 128 goes (VERDICT round-2 weak #8).
+"""
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lpcnet_tpu.models import lpcnet as M
+from lpcnet_tpu.nn import layers as L
+from lpcnet_tpu.train import train_lpcnet as T
+
+
+def timeit(fn, *args, warmup=2, iters=8):
+    for _ in range(warmup):
+        out = fn(*args)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])  # sync via host fetch (NOTES.md)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=15)
+    args = ap.parse_args()
+
+    cfg = M.LPCNetConfig()
+    tc = T.TrainConfig(batch_size=args.batch, chunk_frames=args.frames)
+    b, t = args.batch, args.frames * 160
+    tf_ = args.frames + 4
+    rng = np.random.default_rng(0)
+    batch = {
+        "sig_in": jnp.asarray(rng.standard_normal((b, t)) * 1000, jnp.float32),
+        "sig_out": jnp.asarray(rng.standard_normal((b, t)) * 1000, jnp.float32),
+        "features": jnp.asarray(rng.standard_normal((b, tf_, 20)), jnp.float32),
+        "periods": jnp.asarray(rng.integers(40, 200, (b, tf_)), jnp.int32),
+        "lpc": jnp.asarray(rng.standard_normal((b, args.frames, 16)) * 0.1,
+                           jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    params = M.init_params(key, cfg)
+    gru_states = (jnp.zeros((b, cfg.rnn_units1)), jnp.zeros((b, cfg.rnn_units2)))
+
+    # --- full train step
+    trainer = T.Trainer(cfg, tc)
+    def full_step(state, batch, key, gs):
+        return trainer._step(state, batch, key, gs)
+    st = trainer.state
+    st, m, gs = trainer._step(st, batch, key, gru_states)   # compile
+    # donated args: rebuild each call through the trainer path
+    def run_full():
+        nonlocal st, gs
+        st, m, gs = trainer._step(st, batch, key, gs)
+        return m["loss"]
+    for _ in range(2):
+        run_full()
+    out = run_full(); np.asarray(out)
+    t0 = time.perf_counter()
+    n = 8
+    for _ in range(n):
+        out = run_full()
+    np.asarray(out)
+    dt_full = (time.perf_counter() - t0) / n
+    print(f"full train step:       {dt_full*1e3:8.2f} ms  ({1/dt_full:.2f} steps/s)")
+
+    # --- forward-only loss
+    fwd = jax.jit(lambda p, b, k, g: T.loss_fn(p, cfg, tc, b, k, g)[0])
+    dt = timeit(fwd, params, batch, key, gru_states)
+    print(f"forward loss only:     {dt*1e3:8.2f} ms")
+
+    # --- value_and_grad without optimizer
+    vg = jax.jit(lambda p, b, k, g: jax.value_and_grad(
+        lambda pp: T.loss_fn(pp, cfg, tc, b, k, g)[0])(p)[0])
+    dt = timeit(vg, params, batch, key, gru_states)
+    print(f"fwd+bwd (no opt):      {dt*1e3:8.2f} ms")
+
+    # --- GRU-A recurrence alone
+    rnn_in = jnp.asarray(rng.standard_normal((b, t, 3 * 128 + cfg.cond_size)),
+                         jnp.float32)
+    ga = params["gru_a"]
+    for unroll in (1, 4, 8, 16):
+        def gseq(p, x, h0, unroll=unroll):
+            gate_in = jnp.matmul(x, p["kernel"],
+                                 precision=jax.lax.Precision.DEFAULT) + p["bias"][0]
+            def step(h, g):
+                h2 = L.gru_precomputed_step(p, h, g, "tanh",
+                                            jax.lax.Precision.DEFAULT)
+                return h2, h2
+            hT, hs = jax.lax.scan(step, h0, jnp.moveaxis(gate_in, -2, 0),
+                                  unroll=unroll)
+            return hs
+        f = jax.jit(functools.partial(gseq))
+        dt = timeit(f, ga, rnn_in, gru_states[0])
+        g = jax.jit(lambda p, x, h0: jax.value_and_grad(
+            lambda pp: jnp.sum(gseq(pp, x, h0)))(p)[0])
+        dtg = timeit(g, ga, rnn_in, gru_states[0])
+        print(f"gru_a seq unroll={unroll:2d}:  fwd {dt*1e3:8.2f} ms   fwd+bwd {dtg*1e3:8.2f} ms")
+
+    # --- frame net + embeddings + pdf head cost (everything but GRUs)
+    def rest(p, batch, k):
+        out = M.training_forward(p, cfg, batch["sig_in"], batch["features"],
+                                 batch["periods"], lpc=batch["lpc"], rng=k,
+                                 training=True, gru_states=None)
+        return out["pdf"].sum()
+    # time with gru replaced is messy; instead time tree_to_pdf+mdense alone
+    gru2 = jnp.asarray(rng.standard_normal((b, t, cfg.rnn_units2)), jnp.float32)
+    def head(p, x):
+        from lpcnet_tpu.train import losses as LL
+        pd = L.mdense(p["dual_fc"], x, "sigmoid",
+                      precision=jax.lax.Precision.DEFAULT)
+        return LL.tree_to_pdf(pd)
+    f = jax.jit(head)
+    dt = timeit(f, params, gru2)
+    print(f"dualfc+tree_to_pdf:    {dt*1e3:8.2f} ms (fwd)")
+    gh = jax.jit(lambda p, x: jax.grad(lambda pp: jnp.sum(head(pp, x)))(p)["dual_fc"]["kernel"])
+    dt = timeit(gh, params, gru2)
+    print(f"dualfc+tree_to_pdf:    {dt*1e3:8.2f} ms (fwd+bwd)")
+
+
+if __name__ == "__main__":
+    main()
