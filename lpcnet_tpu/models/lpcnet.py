@@ -529,6 +529,36 @@ def frame_network_seq(params, features, periods, cfg: LPCNetConfig):
     return L.dense(params["feature_dense2"], x, "tanh")
 
 
+def _train_gru_impl():
+    """Pick the GRU-sequence recurrence for the training graph.
+
+    The Pallas kernel (kernels/gru_train.py, the CuDNNGRU role in
+    training_tf2/lpcnet.py:32) is the default on TPU -- the lax.scan path
+    compiles to a T-iteration XLA loop whose per-iteration latency binds the
+    step rate.  LPCNET_TRAIN_GRU=kernel|scan overrides (scan stays the
+    reference semantics; kernel is bf16-operand DEFAULT-precision class).
+    """
+    import os
+    mode = os.environ.get("LPCNET_TRAIN_GRU", "auto")
+    if mode == "scan":
+        return nn.gru_seq
+    if mode in ("kernel", "kernel_a") or (
+            mode == "auto" and jax.default_backend() not in ("cpu",)):
+        from ..kernels.gru_train import gru_seq_pallas
+
+        if mode == "kernel_a":
+            # kernel only for MXU-width GRUs; the 16-unit GRU-B would pay
+            # the full 128-lane padded kernel cost, scan it instead
+            def pick(params, x, h0=None, precision=None):
+                if params["recurrent"].shape[0] >= 128:
+                    return gru_seq_pallas(params, x, h0=h0,
+                                          precision=precision)
+                return nn.gru_seq(params, x, h0=h0, precision=precision)
+            return pick
+        return gru_seq_pallas
+    return nn.gru_seq
+
+
 def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
                      lpc=None, rng=None, training: bool = True,
                      gru_states=None):
@@ -576,14 +606,20 @@ def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
     rnn_in = jnp.concatenate([emb, rep], axis=-1)
     h_a0 = gru_states[0] if gru_states is not None else None
     h_b0 = gru_states[1] if gru_states is not None else None
-    gru1, h_a = L.gru_seq(params["gru_a"], rnn_in, h0=h_a0,
-                          precision=jax.lax.Precision.DEFAULT)
+    gru_seq = _train_gru_impl()
+    gru1, h_a = gru_seq(params["gru_a"], rnn_in, h0=h_a0,
+                        precision=jax.lax.Precision.DEFAULT)
     if training and rng is not None:
         gru1 = gru1 + 0.005 * jax.random.normal(k2, gru1.shape)
-    gru2, h_b = L.gru_seq(params["gru_b"],
-                          jnp.concatenate([gru1, rep], axis=-1), h0=h_b0,
-                          precision=jax.lax.Precision.DEFAULT)
+    gru2, h_b = gru_seq(params["gru_b"],
+                        jnp.concatenate([gru1, rep], axis=-1), h0=h_b0,
+                        precision=jax.lax.Precision.DEFAULT)
     p = L.mdense(params["dual_fc"], gru2, "sigmoid")
-    pdf = LL.tree_to_pdf(p)
-    return {"pdf": pdf, "tensor_preds": tensor_preds, "real_preds": real_preds,
-            "cfeat": cfeat, "rc": rc, "gru_states": (h_a, h_b)}
+    # NOTE: the full [B, T, 256] pdf (tree_to_pdf) is deliberately NOT
+    # materialized here -- it is pure HBM traffic (~315 MB at batch 128) and
+    # the losses only ever read it at 1-2 target indices per sample.  Use
+    # losses.tree_pdf_at / metric_cel_tree on `tree_probs` instead; callers
+    # that really want the dense pdf can apply losses.tree_to_pdf themselves.
+    return {"tree_probs": p, "tensor_preds": tensor_preds,
+            "real_preds": real_preds, "cfeat": cfeat, "rc": rc,
+            "gru_states": (h_a, h_b)}

@@ -62,6 +62,52 @@ def tree_to_pdf(p):
     return pdf
 
 
+def tree_pdf_at(p, labels):
+    """pdf[label] straight from the bit-tree outputs, without materializing
+    the dense [..., 256] pdf.
+
+    Walks the 8-level path tree_to_pdf evaluates for every index, but only
+    at `labels` [...]: gathers the 8 node probabilities and multiplies them
+    in the same level order, so the result is bitwise-identical to
+    `take_along_axis(tree_to_pdf(p), labels)` while the fwd+bwd memory
+    traffic drops from O(256) to O(8) per sample -- the dense tree was
+    ~1/3 of the train step at batch 128 (BENCHMARKS.md training section).
+    """
+    nodes = jnp.stack([(labels >> (8 - b)) + (1 << b) for b in range(8)],
+                      axis=-1)                               # [..., 8]
+    bits = jnp.stack([(labels >> (7 - b)) & 1 for b in range(8)], axis=-1)
+    pb = jnp.take_along_axis(p, nodes, axis=-1)  # ONE gather over p
+    terms = jnp.where(bits == 1, pb, 1.0 - pb)
+    # multiply in level order: bitwise-identical to tree_to_pdf's product
+    val = jnp.ones(labels.shape, p.dtype)
+    for b in range(8):
+        val = val * terms[..., b]
+    return val
+
+
+def metric_cel_tree(sig_out, tensor_preds, p, eps: float = 1e-7):
+    """metric_cel computed via the target-path gather (same numerics)."""
+    e_gt = tf_l2u(sig_out - tensor_preds)
+    e_gt = jnp.clip(jnp.round(e_gt).astype(jnp.int32), 0, 255)
+    return -jnp.log(jnp.clip(tree_pdf_at(p, e_gt), eps, 1.0))
+
+
+def interp_mulaw_loss_tree(sig_out, tensor_preds, real_preds, p,
+                           gamma: float = 2.0):
+    """interp_mulaw_loss via two target-path gathers (same numerics)."""
+    e_gt = tf_l2u(sig_out - tensor_preds)
+    exc_gt = tf_l2u(sig_out - real_preds)
+    prob_comp = jnp.abs(e_gt - 128.0) / 128.0 * LOG256
+    regularization = jnp.abs(exc_gt - 128.0) / 128.0 * LOG256
+    alpha = e_gt - jnp.floor(e_gt)
+    ei = jnp.clip(e_gt.astype(jnp.int32), 0, 254)
+    p0 = tree_pdf_at(p, ei)
+    p1 = tree_pdf_at(p, ei + 1)
+    interp = (1.0 - alpha) * p0 + alpha * p1
+    ce = -jnp.log(jnp.clip(interp, 1e-7, 1.0))
+    return ce + prob_comp + gamma * regularization
+
+
 def sparse_cat_ce(labels, probs, eps: float = 1e-7):
     """-log(p[label]) like Keras SparseCategoricalCrossentropy on probs."""
     p = jnp.take_along_axis(probs, labels[..., None], axis=-1)[..., 0]

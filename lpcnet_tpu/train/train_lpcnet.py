@@ -68,16 +68,19 @@ def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng,
     out = M.training_forward(
         params, cfg, batch["sig_in"], batch["features"], batch["periods"],
         lpc=batch.get("lpc"), rng=rng, training=True, gru_states=gru_states)
+    cel = jnp.mean(LL.metric_cel_tree(batch["sig_out"], out["tensor_preds"],
+                                      out["tree_probs"]))
     if cfg.e2e:
-        ce = LL.interp_mulaw_loss(batch["sig_out"], out["tensor_preds"],
-                                  out["real_preds"], out["pdf"], tc.gamma)
+        ce = LL.interp_mulaw_loss_tree(batch["sig_out"], out["tensor_preds"],
+                                       out["real_preds"], out["tree_probs"],
+                                       tc.gamma)
         lar = LL.loss_matchlar(batch["rc"], out["rc"])
         loss = jnp.mean(ce) + 2.0 * jnp.mean(lar)
     else:
-        loss = jnp.mean(LL.metric_cel(batch["sig_out"], out["tensor_preds"], out["pdf"]))
+        loss = cel
     metrics = {
         "loss": loss,
-        "cel": jnp.mean(LL.metric_cel(batch["sig_out"], out["tensor_preds"], out["pdf"])),
+        "cel": cel,
         "exc_sd": jnp.mean(LL.metric_exc_sd(batch["sig_out"], out["tensor_preds"])),
     }
     return loss, (metrics, out["gru_states"])

@@ -4,6 +4,7 @@ enables downstream (DRED redundancy replaces PLC prediction during losses).
 """
 
 import numpy as np
+import pytest
 
 import conftest
 from conftest import load_fixture
@@ -18,6 +19,7 @@ from lpcnet_tpu.plc.driver import run_plc_fec_stream
 from lpcnet_tpu.plc.plc import LPCNET_PLC_CAUSAL, PLC
 
 
+@pytest.mark.slow
 def test_dred_payload_feeds_plc_fec():
     n_frames = 12
     pcm = load_fixture("codec.npz")["pcm"].astype(np.float32)

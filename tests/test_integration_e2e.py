@@ -6,6 +6,7 @@ and a few steps. Checks plumbing, shapes, and file formats -- not quality.
 """
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -17,6 +18,7 @@ from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer
 from lpcnet_tpu.weights import load_lpcnet_blob, save_lpcnet_blob
 
 
+@pytest.mark.slow
 def test_dump_train_export_synthesize(tmp_path):
     rng = np.random.RandomState(0)
     t = np.arange(160 * 16 * 24)

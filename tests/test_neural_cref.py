@@ -142,6 +142,7 @@ def test_synthesis_free_running_scan(fx, voc):
     _gate_free_running(fx, voc, pcm_out)
 
 
+@pytest.mark.slow
 def test_synthesis_free_running_pallas_f32(fx, voc):
     """Pallas fused AR kernel (f32, interpret mode on CPU) directly vs C."""
     from lpcnet_tpu.kernels import sample_loop as K

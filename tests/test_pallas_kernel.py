@@ -67,6 +67,7 @@ def test_pallas_bf16_close_to_f32():
     assert abs(r16 - r32) / max(r32, 1.0) < 0.5
 
 
+@pytest.mark.slow
 def test_pallas_q8_matches_quantized_scan():
     """Int8 kernel vs the quantized (DOT_PROD) scan path: the GRU matrices
     use identical integer numerics; only the embedding table differs (int8
@@ -125,6 +126,7 @@ def test_pallas_q8_masked_teacher_forced_exact():
                           np.asarray(s0.rng.z[b // 2:]))
 
 
+@pytest.mark.slow
 def test_tf_fast_path_matches_masked_tf():
     """teacher_force_prefix_pallas == synthesize_frame_masked_pallas
     (sampled=False) with a prefix advance mask: RNG bit-exact, terminal
@@ -172,6 +174,7 @@ def test_tf_fast_path_matches_masked_tf():
                   - np.asarray(s_ref.last_exc)).max() <= 1
 
 
+@pytest.mark.slow
 def test_tf_fast_path_q8_and_pad():
     """Int8 bundle + non-256-multiple batch through the padding wrapper."""
     import jax.numpy as jnp
@@ -204,6 +207,7 @@ def test_tf_fast_path_q8_and_pad():
                                   np.asarray(s0.last_sig[:50]))
 
 
+@pytest.mark.slow
 def test_tf_blocks_matches_sequential_prefix_calls():
     """One multi-block TF call == N sequential single-block TF calls
     (bit-identical: same kernel math, same closed-form chaining)."""

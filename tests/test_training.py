@@ -42,6 +42,30 @@ def test_tree_to_pdf_normalized():
     assert float(jnp.min(pdf)) >= 0.0
 
 
+def test_tree_pdf_at_matches_dense_tree():
+    """The target-path gather is bitwise the dense tree_to_pdf at the label,
+    and the tree losses match their dense counterparts."""
+    rng = np.random.RandomState(2)
+    p = jax.nn.sigmoid(jnp.asarray(rng.randn(3, 11, 256), jnp.float32))
+    labels = jnp.asarray(rng.randint(0, 256, (3, 11)), jnp.int32)
+    dense = jnp.take_along_axis(LL.tree_to_pdf(p), labels[..., None],
+                                axis=-1)[..., 0]
+    path = LL.tree_pdf_at(p, labels)
+    np.testing.assert_array_equal(np.asarray(path), np.asarray(dense))
+
+    sig_out = jnp.asarray(rng.randn(3, 11) * 3000, jnp.float32)
+    tp = jnp.asarray(rng.randn(3, 11) * 2500, jnp.float32)
+    rp = tp + jnp.asarray(rng.randn(3, 11) * 500, jnp.float32)
+    pdf = LL.tree_to_pdf(p)
+    np.testing.assert_allclose(
+        np.asarray(LL.metric_cel_tree(sig_out, tp, p)),
+        np.asarray(LL.metric_cel(sig_out, tp, pdf)), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(LL.interp_mulaw_loss_tree(sig_out, tp, rp, p)),
+        np.asarray(LL.interp_mulaw_loss(sig_out, tp, rp, pdf)),
+        rtol=1e-6, atol=1e-6)
+
+
 def test_diff_pred_matches_definition():
     rng = np.random.RandomState(1)
     x = rng.randn(2, 320).astype(np.float32)

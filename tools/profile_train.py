@@ -8,7 +8,11 @@ find where the 157 ms at batch 128 goes (VERDICT round-2 weak #8).
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -82,9 +86,10 @@ def main():
     dt = timeit(fwd, params, batch, key, gru_states)
     print(f"forward loss only:     {dt*1e3:8.2f} ms")
 
-    # --- value_and_grad without optimizer
+    # --- value_and_grad without optimizer (keep a grad leaf live or XLA
+    # dead-code-eliminates the whole backward)
     vg = jax.jit(lambda p, b, k, g: jax.value_and_grad(
-        lambda pp: T.loss_fn(pp, cfg, tc, b, k, g)[0])(p)[0])
+        lambda pp: T.loss_fn(pp, cfg, tc, b, k, g)[0])(p))
     dt = timeit(vg, params, batch, key, gru_states)
     print(f"fwd+bwd (no opt):      {dt*1e3:8.2f} ms")
 
@@ -111,13 +116,9 @@ def main():
         print(f"gru_a seq unroll={unroll:2d}:  fwd {dt*1e3:8.2f} ms   fwd+bwd {dtg*1e3:8.2f} ms")
 
     # --- frame net + embeddings + pdf head cost (everything but GRUs)
-    def rest(p, batch, k):
-        out = M.training_forward(p, cfg, batch["sig_in"], batch["features"],
-                                 batch["periods"], lpc=batch["lpc"], rng=k,
-                                 training=True, gru_states=None)
-        return out["pdf"].sum()
-    # time with gru replaced is messy; instead time tree_to_pdf+mdense alone
+    # time tree_to_pdf+mdense alone: dense pdf vs the target-path gather
     gru2 = jnp.asarray(rng.standard_normal((b, t, cfg.rnn_units2)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 256, (b, t)), jnp.int32)
     def head(p, x):
         from lpcnet_tpu.train import losses as LL
         pd = L.mdense(p["dual_fc"], x, "sigmoid",
@@ -129,6 +130,19 @@ def main():
     gh = jax.jit(lambda p, x: jax.grad(lambda pp: jnp.sum(head(pp, x)))(p)["dual_fc"]["kernel"])
     dt = timeit(gh, params, gru2)
     print(f"dualfc+tree_to_pdf:    {dt*1e3:8.2f} ms (fwd+bwd)")
+
+    def head_tree(p, x, lab):
+        from lpcnet_tpu.train import losses as LL
+        pd = L.mdense(p["dual_fc"], x, "sigmoid",
+                      precision=jax.lax.Precision.DEFAULT)
+        return -jnp.log(jnp.clip(LL.tree_pdf_at(pd, lab), 1e-7, 1.0))
+    f = jax.jit(head_tree)
+    dt = timeit(f, params, gru2, labels)
+    print(f"dualfc+tree_pdf_at:    {dt*1e3:8.2f} ms (fwd)")
+    gh = jax.jit(lambda p, x, lab: jax.grad(
+        lambda pp: jnp.sum(head_tree(pp, x, lab)))(p)["dual_fc"]["kernel"])
+    dt = timeit(gh, params, gru2, labels)
+    print(f"dualfc+tree_pdf_at:    {dt*1e3:8.2f} ms (fwd+bwd)")
 
 
 if __name__ == "__main__":

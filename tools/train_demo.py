@@ -40,6 +40,16 @@ def main():
                     help="quantize-finetune mode (requires --init-from)")
     ap.add_argument("--schedule-scale", type=float, default=1.0,
                     help="compress the sparsify/quantize schedules")
+    ap.add_argument("--corpus-seeds", default="0",
+                    help="comma list: one synth_corpus shard per seed")
+    ap.add_argument("--aug-passes", type=int, default=1,
+                    help="dump_data augmentation passes over the corpus")
+    ap.add_argument("--orbax-every", type=int, default=0,
+                    help="save full train state (params+opt+step) every N "
+                         "steps to <outdir>/orbax/step_<k>")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume params+optimizer+step from the latest "
+                         "<outdir>/orbax checkpoint")
     args = ap.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -48,12 +58,15 @@ def main():
     dpath = os.path.join(datadir, "data.s16")
 
     if not os.path.exists(dpath):
-        print("generating corpus...", flush=True)
-        speech = synth_corpus(args.seconds)
+        seeds = [int(s) for s in args.corpus_seeds.split(",")]
+        print(f"generating corpus ({len(seeds)} shard(s))...", flush=True)
+        speech = np.concatenate(
+            [synth_corpus(args.seconds / len(seeds), seed=s) for s in seeds])
         speech.tofile(os.path.join(datadir, "corpus.s16"))
         from lpcnet_tpu.train.dump_data import dump_data
         t0 = time.time()
-        dump_data(speech, fpath, dpath, chunk_frames=800)
+        dump_data(speech, fpath, dpath, chunk_frames=800,
+                  min_samples=args.aug_passes * len(speech))
         print(f"dump_data: {time.time() - t0:.1f}s", flush=True)
 
     import jax
@@ -77,6 +90,20 @@ def main():
                                    trainer.state.step)
         print(f"initialized from {args.init_from}", flush=True)
 
+    from lpcnet_tpu.train.checkpointing import (latest_checkpoint,
+                                                restore_train_state,
+                                                save_train_state)
+    orbax_dir = os.path.join(args.outdir, "orbax")
+    start_step = 0
+    if args.resume:
+        ck = latest_checkpoint(orbax_dir)
+        if ck:
+            trainer.state = jax.device_put(
+                restore_train_state(ck, trainer.state))
+            start_step = int(trainer.state.step)
+            print(f"resumed full state from {ck} (step {start_step})",
+                  flush=True)
+
     def save(params, tag=""):
         save_checkpoint(os.path.join(args.outdir, f"model{tag}.npz"), params, cfg)
         with open(os.path.join(args.outdir, f"model{tag}.bin"), "wb") as f:
@@ -85,7 +112,9 @@ def main():
     from lpcnet_tpu.utils.profiling import MetricsLogger
     mlog = MetricsLogger(os.path.join(args.outdir, "metrics.jsonl"))
     rng = jax.random.PRNGKey(1)
-    step = 0
+    step = start_step
+    for _ in range(step):        # keep the data/rng streams deterministic
+        rng, _ = jax.random.split(rng)
     t0 = time.time()
     while step < args.steps:
         for batch in loader:
@@ -96,9 +125,13 @@ def main():
             if step % 50 == 0:
                 mlog.flush_async()
                 print(f"step {step}: loss={float(m['loss']):.4f} "
-                      f"({step / (time.time() - t0):.2f} steps/s)", flush=True)
+                      f"({(step - start_step) / (time.time() - t0):.2f} steps/s)",
+                      flush=True)
             if args.save_every and step % args.save_every == 0:
                 save(jax.device_get(trainer.state.params), f"_{step}")
+            if args.orbax_every and step % args.orbax_every == 0:
+                save_train_state(os.path.join(orbax_dir, f"step_{step}"),
+                                 trainer.state)
             if step >= args.steps:
                 break
         loader.on_epoch_end()
