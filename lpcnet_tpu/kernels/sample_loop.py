@@ -95,6 +95,10 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16,
                    fq["gru_a_rec"]["recurrent_diag"], 3)], axis=1))
         fused["gru_a_rec"] = dict(fq["gru_a_rec"], recurrent=rec)
         fused["gru_b_in"] = fused.pop("gru_b_in_q8").astype(jnp.float32) / 128.0
+        fused["gru_b_rec"] = dict(
+            fq["gru_b_rec"],
+            recurrent=fq["gru_b_rec"]["recurrent_q8"].astype(jnp.float32)
+            / 128.0)
     na, nb = cfg.rnn_units1, cfg.rnn_units2
     emb_cat = jnp.concatenate(
         [fused["embed_sig_a"], fused["embed_pred_a"], fused["embed_exc_a"]],
@@ -130,10 +134,15 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16,
         emb_scale = jnp.maximum(jnp.max(jnp.abs(emb_f32), axis=0), 1e-10) / 127.0
         emb_q8 = jnp.clip(jnp.round(emb_f32 / emb_scale), -127, 127
                           ).astype(jnp.int8)
+        if was_q:
+            b_rec_q8 = fq["gru_b_rec"]["recurrent_q8"]
+        else:
+            b_rec_q8 = Q.quantize_weights_int8(fused["gru_b_rec"]["recurrent"])
         kw.update(
             emb_q8=emb_q8, emb_scale=emb_scale[None, :],
             a_rec_q8=a_off_q8, a_diag=jnp.asarray(a_diag, jnp.float32)[None, :],
-            b_in_q8=b_in_q8)
+            b_in_q8=b_in_q8, b_rec_q8=b_rec_q8)
+        del kw["b_rec"]
     else:
         kw.update(
             emb_cat=emb_cat.astype(dtype),
@@ -227,7 +236,7 @@ def _onehot(idx, n):
 _WNAMES_F32 = ("emb_cat", "a_rec", "a_bias1", "b_in", "b_rec", "b_bias1",
                "dual_w", "dual_bias", "dual_factor", "logit_table")
 _WNAMES_Q8 = ("emb_q8", "emb_scale", "a_rec_q8", "a_diag", "a_bias1",
-              "b_in_q8", "b_rec", "b_bias1",
+              "b_in_q8", "b_rec_q8", "b_bias1",
               "dual_w", "dual_bias", "dual_factor", "logit_table")
 
 def _gru_ab(q8, na, nb, W, conda, condb, sig_u, pred_u, exc_u, h_a0, h_b0):
@@ -292,8 +301,15 @@ def _gru_ab(q8, na, nb, W, conda, condb, sig_u, pred_u, exc_u, h_a0, h_b0):
         wdt = W["emb_cat"].dtype
         gate_b = condb + jnp.dot(h_a.astype(wdt), W["b_in"][:],
                                  preferred_element_type=jnp.float32)
-    zrec_b = jnp.dot(h_b0.astype(W["b_rec"].dtype), W["b_rec"][:],
-                     preferred_element_type=jnp.float32) + W["b_bias1"][:]
+    if q8:
+        # C's compute_gruB quantizes the dense recurrent too
+        # (src/nnet.c:326-373 via sgemv_accum8x4)
+        zrec_b = (jnp.dot(_quant_act(h_b0), W["b_rec_q8"][:],
+                          preferred_element_type=jnp.int32)
+                  .astype(jnp.float32) * _SCALE_Q + W["b_bias1"][:])
+    else:
+        zrec_b = jnp.dot(h_b0.astype(W["b_rec"].dtype), W["b_rec"][:],
+                         preferred_element_type=jnp.float32) + W["b_bias1"][:]
     zb = jax.nn.sigmoid(gate_b[:, :nb] + zrec_b[:, :nb])
     rb = jax.nn.sigmoid(gate_b[:, nb:2 * nb] + zrec_b[:, nb:2 * nb])
     hcb = jnp.tanh(gate_b[:, 2 * nb:] + rb * zrec_b[:, 2 * nb:])
@@ -672,7 +688,7 @@ def synthesize_frame_masked_auto(kw, state, cond_a, cond_b, lpc, preload,
 # f32/q8 weight subsets actually used by the TF kernel (no sampler tables)
 _WNAMES_TF_F32 = ("emb_cat", "a_rec", "a_bias1", "b_in", "b_rec", "b_bias1")
 _WNAMES_TF_Q8 = ("emb_q8", "emb_scale", "a_rec_q8", "a_diag", "a_bias1",
-                 "b_in_q8", "b_rec", "b_bias1")
+                 "b_in_q8", "b_rec_q8", "b_bias1")
 
 
 def _tf_kernel(blk_samples, n_blocks, na, nb, q8, *refs):

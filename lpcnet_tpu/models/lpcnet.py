@@ -394,11 +394,13 @@ def sample_network_step(fused, state: SampleState, cond_a, cond_b,
         h_a = Q.gru_precomputed_step_q8(fused["gru_a_rec"], state.gru_a, gate_a)
         gate_b = cond_b + Q.qmatmul(Q.quantize_act_int8(h_a),
                                     fused["gru_b_in_q8"])
+        h_b = Q.gru_precomputed_step_q8_dense(fused["gru_b_rec"],
+                                              state.gru_b, gate_b)
     else:
         h_a = nn.gru_precomputed_step(fused["gru_a_rec"], state.gru_a, gate_a)
         gate_b = cond_b + jnp.matmul(h_a, fused["gru_b_in"],
                                      precision=nn.HIGHEST)
-    h_b = nn.gru_precomputed_step(fused["gru_b_rec"], state.gru_b, gate_b)
+        h_b = nn.gru_precomputed_step(fused["gru_b_rec"], state.gru_b, gate_b)
     if pdf_corr is None:
         exc, rng = sample_excitation(fused["dual_fc"], h_b, state.rng)
     else:
@@ -507,11 +509,25 @@ def synthesize_frame_masked(fused, state: SampleState, cond_a, cond_b, lpc,
 # --------------------------------------------------------------------------
 
 def diff_embed(table, x):
-    """Fractional embedding lookup (training_tf2/diffembed.py:35-41)."""
+    """Fractional embedding lookup (training_tf2/diffembed.py:35-41).
+
+    Evaluated as a soft-one-hot matmul rather than two row gathers: the
+    row-gather + backward scatter-add into the [256, 128] table cost ~40 ms
+    fwd+bwd in the batch-128 train step (XLA lowers them to serialized
+    dynamic ops on TPU), while the [*, 256] x [256, 128] contraction rides
+    the MXU.  Same interpolation arithmetic: weight (1-alpha) at trunc(x)
+    and alpha at clip(trunc(x)+1) (f32 accumulation, HIGHEST precision so
+    alpha keeps full mantissa)."""
     alpha = (x - jnp.floor(x))[..., None]
-    i0 = x.astype(jnp.int32)
-    i1 = jnp.clip(i0 + 1, 0, 255)
-    return (1.0 - alpha) * table[i0] + alpha * table[i1]
+    i0 = x.astype(jnp.int32)                       # trunc, like table[i0]
+    i0c = jnp.clip(i0, 0, 255)[..., None]          # gather-clamp semantics
+    i1c = jnp.clip(i0 + 1, 0, 255)[..., None]
+    idx = jnp.arange(256, dtype=jnp.int32)
+    w = jnp.where(idx == i0c, 1.0 - alpha, 0.0) + \
+        jnp.where(idx == i1c, alpha, 0.0)          # [..., 256] soft one-hot
+    return jax.lax.dot_general(
+        w, table, dimension_numbers=(((w.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def frame_network_seq(params, features, periods, cfg: LPCNetConfig):
@@ -542,6 +558,12 @@ def _train_gru_impl():
     mode = os.environ.get("LPCNET_TRAIN_GRU", "auto")
     if mode == "scan":
         return nn.gru_seq
+    if mode == "auto":
+        # the axon plugin reports a TPU backend even when tests pin the
+        # default device to CPU (conftest) -- check the pin too
+        dd = jax.config.jax_default_device
+        if dd is not None and dd.platform == "cpu":
+            return nn.gru_seq
     if mode in ("kernel", "kernel_a") or (
             mode == "auto" and jax.default_backend() not in ("cpu",)):
         from ..kernels.gru_train import gru_seq_pallas
@@ -559,9 +581,19 @@ def _train_gru_impl():
     return nn.gru_seq
 
 
+def _abl(ablate, name, fn, shape, seed):
+    """Profiling hook: when `name` is ablated, skip `fn` entirely and stand
+    in a cheap data-dependent broadcast of the *input* mean (same shape), so
+    the component's fwd+bwd cost leaves the graph but downstream ops stay
+    un-foldable.  Used only by tools/profile_train.py."""
+    if name not in ablate:
+        return fn()
+    return jnp.broadcast_to(jnp.mean(seed) * 1e-3, shape)
+
+
 def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
                      lpc=None, rng=None, training: bool = True,
-                     gru_states=None):
+                     gru_states=None, ablate=()):
     """Full training graph.
 
     Args:
@@ -580,7 +612,9 @@ def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
     from ..train import losses as LL
 
     b, t = sig_in.shape
-    cfeat = frame_network_seq(params, features, periods, cfg)   # [B, T/160, C]
+    cfeat = _abl(ablate, "framenet",
+                 lambda: frame_network_seq(params, features, periods, cfg),
+                 (b, features.shape[1] - 4, cfg.cond_size), features)
     if cfg.e2e:
         rc = cfeat[..., :LPC_ORDER]
         lpc = lpc_mod.rc2lpc(rc)
@@ -590,8 +624,13 @@ def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
 
     weighting = jnp.power(jnp.float32(cfg.lpc_gamma),
                           jnp.arange(1, LPC_ORDER + 1, dtype=jnp.float32))
-    real_preds = LL.diff_pred(sig_in, lpc, cfg.frame_size)
-    tensor_preds = LL.diff_pred(sig_in, lpc * weighting, cfg.frame_size)
+    real_preds = _abl(ablate, "preds",
+                      lambda: LL.diff_pred(sig_in, lpc, cfg.frame_size),
+                      (b, t), sig_in)
+    tensor_preds = _abl(
+        ablate, "preds",
+        lambda: LL.diff_pred(sig_in, lpc * weighting, cfg.frame_size),
+        (b, t), sig_in)
     past_errors = LL.tf_l2u(sig_in - jnp.roll(tensor_preds, 1, axis=-1))
 
     cpcm = jnp.stack([LL.tf_l2u(sig_in), LL.tf_l2u(tensor_preds), past_errors],
@@ -599,22 +638,36 @@ def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
     if training and rng is not None:
         rng, k1, k2 = jax.random.split(rng, 3)
         cpcm = cpcm + 0.3 * jax.random.normal(k1, cpcm.shape)
-    emb = diff_embed(params["embed_sig"]["table"], cpcm)         # [B,T,3,128]
-    emb = emb.reshape(b, t, 3 * EMBED_SIZE)
+    emb = _abl(ablate, "embed",
+               lambda: diff_embed(params["embed_sig"]["table"],
+                                  cpcm).reshape(b, t, 3 * EMBED_SIZE),
+               (b, t, 3 * EMBED_SIZE), cpcm)
 
     rep = jnp.repeat(cfeat, cfg.frame_size, axis=-2)             # [B, T, C]
     rnn_in = jnp.concatenate([emb, rep], axis=-1)
     h_a0 = gru_states[0] if gru_states is not None else None
     h_b0 = gru_states[1] if gru_states is not None else None
     gru_seq = _train_gru_impl()
-    gru1, h_a = gru_seq(params["gru_a"], rnn_in, h0=h_a0,
-                        precision=jax.lax.Precision.DEFAULT)
+    if "gru_a" in ablate:
+        gru1 = jnp.broadcast_to(jnp.mean(rnn_in) * 1e-3,
+                                (b, t, cfg.rnn_units1))
+        h_a = jnp.zeros((b, cfg.rnn_units1))
+    else:
+        gru1, h_a = gru_seq(params["gru_a"], rnn_in, h0=h_a0,
+                            precision=jax.lax.Precision.DEFAULT)
     if training and rng is not None:
         gru1 = gru1 + 0.005 * jax.random.normal(k2, gru1.shape)
-    gru2, h_b = gru_seq(params["gru_b"],
-                        jnp.concatenate([gru1, rep], axis=-1), h0=h_b0,
-                        precision=jax.lax.Precision.DEFAULT)
-    p = L.mdense(params["dual_fc"], gru2, "sigmoid")
+    gru_b_in = jnp.concatenate([gru1, rep], axis=-1)
+    if "gru_b" in ablate:
+        gru2 = jnp.broadcast_to(jnp.mean(gru_b_in) * 1e-3,
+                                (b, t, cfg.rnn_units2))
+        h_b = jnp.zeros((b, cfg.rnn_units2))
+    else:
+        gru2, h_b = gru_seq(params["gru_b"], gru_b_in, h0=h_b0,
+                            precision=jax.lax.Precision.DEFAULT)
+    p = _abl(ablate, "head",
+             lambda: L.mdense(params["dual_fc"], gru2, "sigmoid"),
+             (b, t, 256), gru2)
     # NOTE: the full [B, T, 256] pdf (tree_to_pdf) is deliberately NOT
     # materialized here -- it is pure HBM traffic (~315 MB at batch 128) and
     # the losses only ever read it at 1-2 target indices per sample.  Use

@@ -58,8 +58,22 @@ def gru_precomputed_step_q8(params: Dict[str, Any], h, gate_in,
     zrec = (qmatmul(h_q, params["recurrent_q8"])
             + params["recurrent_diag"] * jnp.tile(h, 3)
             + params["bias"][1])
-    z = jax.nn.sigmoid(gate_in[..., :n] + zrec[..., :n])
-    r = jax.nn.sigmoid(gate_in[..., n:2 * n] + zrec[..., n:2 * n])
+    z = activate(gate_in[..., :n] + zrec[..., :n], "sigmoid")
+    r = activate(gate_in[..., n:2 * n] + zrec[..., n:2 * n], "sigmoid")
+    hcand = activate(gate_in[..., 2 * n:] + r * zrec[..., 2 * n:], activation)
+    return z * h + (1.0 - z) * hcand
+
+
+def gru_precomputed_step_q8_dense(params: Dict[str, Any], h, gate_in,
+                                  activation: str = "tanh"):
+    """Dense-recurrent quantized GRU step (GRU-B): the C's compute_gruB runs
+    the FULL recurrent matrix through sgemv_accum8x4 (src/nnet.c:326-373,
+    no diagonal extraction -- that's the sparse GRU-A format only)."""
+    n = h.shape[-1]
+    zrec = qmatmul(quantize_act_int8(h), params["recurrent_q8"]) \
+        + params["bias"][1]
+    z = activate(gate_in[..., :n] + zrec[..., :n], "sigmoid")
+    r = activate(gate_in[..., n:2 * n] + zrec[..., n:2 * n], "sigmoid")
     hcand = activate(gate_in[..., 2 * n:] + r * zrec[..., 2 * n:], activation)
     return z * h + (1.0 - z) * hcand
 
@@ -90,6 +104,10 @@ def quantize_fused(fused: Dict[str, Any]) -> Dict[str, Any]:
         recurrent_diag=diag.astype(jnp.float32))
     del fused["gru_a_rec"]["recurrent"]
     fused["gru_b_in_q8"] = quantize_weights_int8(fused.pop("gru_b_in"))
+    fused["gru_b_rec"] = dict(
+        fused["gru_b_rec"],
+        recurrent_q8=quantize_weights_int8(fused["gru_b_rec"]["recurrent"]))
+    del fused["gru_b_rec"]["recurrent"]
     return fused
 
 

@@ -85,11 +85,40 @@ def tree_pdf_at(p, labels):
     return val
 
 
+def tree_neg_log_pdf(p, labels, eps: float = 1e-7):
+    """-log(pdf[label]) from the bit-tree outputs via multi-hot masks.
+
+    XLA lowers take_along_axis along the lane (256) axis to a slow gather on
+    TPU (~40 ms fwd at [128, 2400]); instead, build the 8-node path masks as
+    broadcast iota comparisons and reduce  -sum_n mask_pos*log(p) +
+    mask_neg*log(1-p)  in one fused pass over p.  log-domain: the product of
+    path probabilities becomes a sum of logs; the final value is clamped at
+    -log(eps) to mirror the dense path's pdf clipping (values match the
+    dense tree CE to ~1e-5 relative; exact only when no term saturates).
+    """
+    idx = jnp.arange(256, dtype=labels.dtype)
+    lab = labels[..., None]                                      # [..., 1]
+    pos = jnp.zeros(lab.shape[:-1] + (256,), bool)
+    neg = pos
+    for b in range(8):
+        node = (lab >> (8 - b)) + (1 << b)
+        bit = ((lab >> (7 - b)) & 1) == 1
+        hit = idx == node                                        # [..., 256]
+        pos = pos | (hit & bit)
+        neg = neg | (hit & ~bit)
+    tiny = 1e-20
+    logp = jnp.log(jnp.maximum(p, tiny))
+    log1mp = jnp.log(jnp.maximum(1.0 - p, tiny))
+    ll = jnp.sum(jnp.where(pos, logp, 0.0) + jnp.where(neg, log1mp, 0.0),
+                 axis=-1)
+    return jnp.minimum(-ll, -math.log(eps))
+
+
 def metric_cel_tree(sig_out, tensor_preds, p, eps: float = 1e-7):
-    """metric_cel computed via the target-path gather (same numerics)."""
+    """metric_cel computed along the target's tree path (no dense pdf)."""
     e_gt = tf_l2u(sig_out - tensor_preds)
     e_gt = jnp.clip(jnp.round(e_gt).astype(jnp.int32), 0, 255)
-    return -jnp.log(jnp.clip(tree_pdf_at(p, e_gt), eps, 1.0))
+    return tree_neg_log_pdf(p, e_gt, eps)
 
 
 def interp_mulaw_loss_tree(sig_out, tensor_preds, real_preds, p,
@@ -101,8 +130,8 @@ def interp_mulaw_loss_tree(sig_out, tensor_preds, real_preds, p,
     regularization = jnp.abs(exc_gt - 128.0) / 128.0 * LOG256
     alpha = e_gt - jnp.floor(e_gt)
     ei = jnp.clip(e_gt.astype(jnp.int32), 0, 254)
-    p0 = tree_pdf_at(p, ei)
-    p1 = tree_pdf_at(p, ei + 1)
+    p0 = jnp.exp(-tree_neg_log_pdf(p, ei))
+    p1 = jnp.exp(-tree_neg_log_pdf(p, ei + 1))
     interp = (1.0 - alpha) * p0 + alpha * p1
     ce = -jnp.log(jnp.clip(interp, 1e-7, 1.0))
     return ce + prob_comp + gamma * regularization

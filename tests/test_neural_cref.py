@@ -111,12 +111,18 @@ def _run_frames(fx, voc, synth, n_frames=None, preload=None):
     return np.concatenate(pcm_out), states
 
 
-def _gate_free_running(fx, voc, pcm_out, tol=128.0, n_gate_frames=8):
+def _gate_free_running(fx, voc, pcm_out, tol=128.0, n_gate_frames=8,
+                       max_bad_frames=0):
     """The excitation stream must stay locked to C over the gate window: a
     single flipped bit-tree decision decorrelates the AR loop and produces
     diffs in the thousands on most subsequent samples. Locked excitation
     leaves only bounded float drift (measured: max 30, p99 6 on this
-    fixture's near-saturated signal)."""
+    fixture's near-saturated signal).
+
+    max_bad_frames > 0 admits isolated knife-edge sampler flips whose effect
+    decays (the saturated fixture signal re-locks through the mu-law clamp)
+    -- but the trajectory must RE-LOCK: the last 4 frames are always gated
+    tightly, which decorrelation cannot pass."""
     cfg = voc[0]
     cpcm = fx["synth_free_pcm"].astype(np.float64)[:len(pcm_out)]
     warm = cfg.lookahead * FRAME
@@ -126,9 +132,14 @@ def _gate_free_running(fx, voc, pcm_out, tol=128.0, n_gate_frames=8):
     assert np.mean(gate > 2) < 0.15, (
         f"excitation stream diverged from C: {np.mean(gate > 2):.1%} of "
         f"samples off by >2 (measured baseline 4.3%)")
+    bad = 0
     for w in range(warm, warm + n_gate_frames * FRAME, FRAME):
-        assert d[w:w + FRAME].max() <= tol, (
-            f"frame at sample {w}: max pcm diff {d[w:w + FRAME].max()}")
+        if d[w:w + FRAME].max() > tol:
+            bad += 1
+    assert bad <= max_bad_frames, (
+        f"{bad} frames exceed pcm tol {tol} (allowed {max_bad_frames})")
+    tail = d[warm + (n_gate_frames - 4) * FRAME:warm + n_gate_frames * FRAME]
+    assert tail.max() <= tol, f"tail did not re-lock: max {tail.max()}"
 
 
 def test_synthesis_free_running_scan(fx, voc):
@@ -209,6 +220,92 @@ def test_dred_encoder_decoder(fx):
         params, z, init, cfg)
     dec = np.asarray(dec)[0].reshape(fx["dred_dec_features"].shape)
     assert np.abs(dec - fx["dred_dec_features"]).max() < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# int8 DOT_PROD gates: the reference's DEPLOYED inference numerics
+# (harness_nn_q8: USE_SU_BIAS + DOT_PROD scalar kernels, src/vec.h:206-339).
+# The JAX q8 path shares the exact integer weights with the C via the
+# quantized blob (SHA-pinned), so the same windowed-gate design applies.
+
+@pytest.fixture(scope="module")
+def fx_q8():
+    return load_fixture("neural_cref_q8.npz")
+
+
+@pytest.fixture(scope="module")
+def voc_q8(fx_q8):
+    """(cfg, q8-fused) from the quantized blob, SHA-checked against the
+    fixture's: C consumed these exact int8 weights."""
+    import hashlib
+
+    from lpcnet_tpu.models import lpcnet as M
+    from lpcnet_tpu.nn.quantized import quantize_fused
+    from lpcnet_tpu.weights import blob as B
+    from lpcnet_tpu.weights import lpcnet_arrays as LA
+
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(1234), cfg)
+    blob = B.write_blob(LA.arrays_from_params(params, cfg, quantize=True))
+    assert hashlib.sha256(blob).digest() == fx_q8["voc_blob_sha"].tobytes(), (
+        "regenerated quantized blob differs from the fixture's -- re-run "
+        "tools/cref/gen_nn_fixtures.py")
+    # blob int8 -> float grid -> quantize_fused: exact int roundtrip (the
+    # grid values are n/128), so the JAX ints == the C's blob ints
+    fused = LA.fused_from_arrays(B.read_blob(blob), cfg)
+    return cfg, params, quantize_fused(fused)
+
+
+def test_synthesis_free_running_scan_q8(fx_q8, voc_q8):
+    """JAX int8 scan path vs the C DOT_PROD build, free-running."""
+    from lpcnet_tpu.models import lpcnet as M
+
+    synth_j = jax.jit(M.synthesize_frame)
+    pcm_out, _ = _run_frames(
+        fx_q8, voc_q8, lambda f, s, a, b, l, t: synth_j(f, s, a, b, l),
+        n_frames=voc_q8[0].lookahead + 8)
+    # measured: one decaying sampler flip in frames 1-2, re-locked to max
+    # diff <= 6 from frame 3 on
+    _gate_free_running(fx_q8, voc_q8, pcm_out, max_bad_frames=2)
+
+
+def test_synthesis_teacher_forced_states_q8(fx_q8, voc_q8):
+    """Teacher-forced state trajectories vs the C DOT_PROD build: gates the
+    int8 GEMV numerics (GRU-A sparse + diag, GRU-B input AND recurrent),
+    the subias export consumed by USE_SU_BIAS, and the blob int8 layout."""
+    from lpcnet_tpu.models import lpcnet as M
+
+    cfg = voc_q8[0]
+    na, nb = cfg.rnn_units1, cfg.rnn_units2
+    synth_j = jax.jit(M.synthesize_frame)
+    tf_pcm = fx_q8["synth_in_pcm"].astype(np.float32).reshape(-1, FRAME)
+    _, states = _run_frames(
+        fx_q8, voc_q8, lambda f, s, a, b, l, t: synth_j(f, s, a, b, l,
+                                                        preload=t),
+        preload=tf_pcm)
+    cst = fx_q8["synth_tf_states"]
+    for k, st in states.items():
+        d = np.abs(st - cst[k])
+        assert d[:na].max() < 0.15, (k, d[:na].max())            # gru_a
+        assert d[na:na + nb].max() < 0.10, (k, d[na:na + nb].max())  # gru_b
+        assert d[na + nb:na + nb + 16].max() < 1.0, k            # last_sig
+        assert d[na + nb + 16] <= 1.0, k                         # last_exc
+        assert d[na + nb + 17] < 4.0, k                          # deemph
+
+
+@pytest.mark.slow
+def test_synthesis_free_running_pallas_q8(fx_q8, voc_q8):
+    """Pallas int8 kernel (interpret mode) directly vs the C DOT_PROD build."""
+    from lpcnet_tpu.kernels import sample_loop as K
+
+    cfg, _, fused_q = voc_q8
+    kw = K.kernel_weights(fused_q, cfg)
+    assert K.is_q8_bundle(kw)
+    pcm_out, _ = _run_frames(
+        fx_q8, voc_q8,
+        lambda f, s, a, b, l, t: K.synthesize_frame_auto(kw, s, a, b, l, cfg),
+        n_frames=cfg.lookahead + 8)
+    _gate_free_running(fx_q8, voc_q8, pcm_out)
 
 
 # ---------------------------------------------------------------------------

@@ -57,13 +57,42 @@ def test_tree_pdf_at_matches_dense_tree():
     tp = jnp.asarray(rng.randn(3, 11) * 2500, jnp.float32)
     rp = tp + jnp.asarray(rng.randn(3, 11) * 500, jnp.float32)
     pdf = LL.tree_to_pdf(p)
+    # the tree losses run in log-domain (multi-hot masks); equal to the
+    # dense-product path up to exp/log roundoff
     np.testing.assert_allclose(
         np.asarray(LL.metric_cel_tree(sig_out, tp, p)),
-        np.asarray(LL.metric_cel(sig_out, tp, pdf)), rtol=1e-6, atol=1e-6)
+        np.asarray(LL.metric_cel(sig_out, tp, pdf)), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(
         np.asarray(LL.interp_mulaw_loss_tree(sig_out, tp, rp, p)),
         np.asarray(LL.interp_mulaw_loss(sig_out, tp, rp, pdf)),
-        rtol=1e-6, atol=1e-6)
+        rtol=2e-5, atol=2e-5)
+    # saturated-pdf clamp mirrors the dense eps clip
+    p_sat = jnp.full((1, 1, 256), 1e-30, jnp.float32)
+    lab = jnp.full((1, 1), 255, jnp.int32)   # all-ones path hits log(p)
+    ce_sat = float(LL.tree_neg_log_pdf(p_sat, lab)[0, 0])
+    np.testing.assert_allclose(ce_sat, -np.log(1e-7), rtol=1e-6)
+
+
+def test_diff_embed_matches_gather_form():
+    """Soft-one-hot diff_embed == the two-row-gather formulation, including
+    the noise-driven out-of-range edges (x<0, x>255)."""
+    from lpcnet_tpu.models.lpcnet import diff_embed
+
+    rng = np.random.RandomState(3)
+    table = jnp.asarray(rng.randn(256, 128).astype(np.float32))
+    x = jnp.asarray(np.concatenate([
+        rng.uniform(0, 255, 500), [-1.2, -0.4, 0.0, 255.0, 255.7, 256.2],
+    ]).astype(np.float32).reshape(11, 46))
+
+    def ref(table, x):
+        alpha = (x - jnp.floor(x))[..., None]
+        i0 = jnp.clip(x.astype(jnp.int32), 0, 255)   # jit gather clamps
+        i1 = jnp.clip(x.astype(jnp.int32) + 1, 0, 255)
+        return (1.0 - alpha) * table[i0] + alpha * table[i1]
+
+    got = np.asarray(jax.jit(diff_embed)(table, x))
+    want = np.asarray(jax.jit(ref)(table, x))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
 
 
 def test_diff_pred_matches_definition():

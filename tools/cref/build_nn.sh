@@ -45,8 +45,42 @@ cc -O2 -fcommon -DUSE_WEIGHTS_FILE -U__SSE__ -U__SSE2__ -U__AVX__ \
   "$REF/src/lpcnet_tables.c" "$REF/src/kiss99.c" \
   "$BUILD/ceps_codebooks.c" \
   -lm
+# int8 DOT_PROD builds: the reference's DEPLOYED inference numerics
+# (scalar sgemv_accum8x4 from src/vec.h:206-339 with USE_SU_BIAS, the same
+# unsigned-x + subias integer math vec_avx.h:40-41 uses on AVX2). Gates the
+# quantized blob export (subias, int8 weights) and the JAX q8 kernels
+# against C rather than against the repo's own integer reference.
+cc -O2 -fcommon -DUSE_WEIGHTS_FILE -U__SSE__ -U__SSE2__ -U__AVX__ \
+  -DUSE_SU_BIAS -I"$HERE" -I"$REF/src" -I"$REF/include" \
+  -o "$BUILD/harness_nn_q8" \
+  "$HERE/harness_nn.c" \
+  "$HERE/nnet_data.c" "$HERE/plc_data.c" "$HERE/dred_data.c" \
+  "$REF/src/nnet.c" "$REF/src/lpcnet.c" "$REF/src/lpcnet_plc.c" \
+  "$REF/src/parse_lpcnet_weights.c" \
+  "$REF/src/dred_rdovae_enc.c" "$REF/src/dred_rdovae_dec.c" \
+  "$REF/src/freq.c" "$REF/src/kiss_fft.c" "$REF/src/pitch.c" \
+  "$REF/src/burg.c" "$REF/src/common.c" "$REF/src/lpcnet_enc.c" \
+  "$REF/src/lpcnet_dec.c" \
+  "$REF/src/lpcnet_tables.c" "$REF/src/kiss99.c" \
+  "$BUILD/ceps_codebooks.c" \
+  -lm
+cc -O2 -fcommon -DUSE_WEIGHTS_FILE -U__SSE__ -U__SSE2__ -U__AVX__ \
+  -DUSE_SU_BIAS -DFEATURES_DELAY=0 -I"$HERE" -I"$REF/src" -I"$REF/include" \
+  -o "$BUILD/harness_nn_q8_nc" \
+  "$HERE/harness_nn.c" \
+  "$HERE/nnet_data.c" "$HERE/plc_data.c" "$HERE/dred_data.c" \
+  "$REF/src/nnet.c" "$REF/src/lpcnet.c" "$REF/src/lpcnet_plc.c" \
+  "$REF/src/parse_lpcnet_weights.c" \
+  "$REF/src/dred_rdovae_enc.c" "$REF/src/dred_rdovae_dec.c" \
+  "$REF/src/freq.c" "$REF/src/kiss_fft.c" "$REF/src/pitch.c" \
+  "$REF/src/burg.c" "$REF/src/common.c" "$REF/src/lpcnet_enc.c" \
+  "$REF/src/lpcnet_dec.c" \
+  "$REF/src/lpcnet_tables.c" "$REF/src/kiss99.c" \
+  "$BUILD/ceps_codebooks.c" \
+  -lm
+
 # .fec byte-format reader harness (training_tf2/fec_packets.c compiled in place)
 cc -O2 -I"$REF/training_tf2" -o "$BUILD/harness_fec" \
   "$HERE/harness_fec.c" "$REF/training_tf2/fec_packets.c"
 
-echo "built $BUILD/harness_nn + $BUILD/harness_nn_nc + $BUILD/harness_fec"
+echo "built $BUILD/harness_nn + _nc + _q8 + _q8_nc + $BUILD/harness_fec"

@@ -170,6 +170,51 @@ def main():
     print(f"wrote {path}: " + ", ".join(
         f"{k}{list(v.shape)}" for k, v in sorted(out.items())))
 
+    # ---- int8 DOT_PROD fixtures (the reference's DEPLOYED numerics) ----
+    # same models, quantized blob, harness_nn_q8 (USE_SU_BIAS + DOT_PROD,
+    # src/vec.h:206-339); gates the subias export + JAX q8 kernels vs C.
+    q8 = {}
+    voc_q = LA.arrays_from_params(params, cfg, quantize=True)
+    plc_q = AUX.plc_arrays_from_params(plc_params, quantize=True)
+    voc_q_blob = B.write_blob(voc_q)
+    comb_q_blob = B.write_blob({**voc_q, **plc_q})
+    open(p("voc_q.blob"), "wb").write(voc_q_blob)
+    open(p("comb_q.blob"), "wb").write(comb_q_blob)
+    q8["voc_blob_sha"] = np.frombuffer(
+        hashlib.sha256(voc_q_blob).digest(), np.uint8)
+    q8["comb_blob_sha"] = np.frombuffer(
+        hashlib.sha256(comb_q_blob).digest(), np.uint8)
+
+    HARNESS_Q8 = os.path.join(HERE, "build", "harness_nn_q8")
+    HARNESS_Q8_NC = os.path.join(HERE, "build", "harness_nn_q8_nc")
+    q8["synth_features"] = feats
+    q8["synth_in_pcm"] = pcm
+    run("synth", p("voc_q.blob"), n_frames, p("feats_n.f32"),
+        p("q_pcm_free.s16"), p("q_st_free.f32"), harness=HARNESS_Q8)
+    q8["synth_free_pcm"] = np.fromfile(p("q_pcm_free.s16"), np.int16)
+    q8["synth_free_states"] = np.fromfile(
+        p("q_st_free.f32"), np.float32).reshape(n_frames, -1)
+    run("synth", p("voc_q.blob"), n_frames, p("feats_n.f32"),
+        p("q_pcm_tf.s16"), p("q_st_tf.f32"), p("in.s16"),
+        harness=HARNESS_Q8)
+    q8["synth_tf_states"] = np.fromfile(
+        p("q_st_tf.f32"), np.float32).reshape(n_frames, -1)
+
+    q8["plc_in_pcm"] = plc_pcm
+    q8["plc_lost"] = lost
+    for name, flags, harness in [
+            ("causal", 0, HARNESS_Q8), ("causal_dc", 4, HARNESS_Q8),
+            ("nc", 1, HARNESS_Q8_NC), ("nc_dc", 5, HARNESS_Q8_NC),
+            ("codec", 2, HARNESS_Q8)]:
+        run("plc", p("comb_q.blob"), flags, n_packets, p("plc_in.s16"),
+            p("lost.u8"), p(f"q_plc_{name}.s16"), harness=harness)
+        q8[f"plc_{name}_pcm"] = np.fromfile(p(f"q_plc_{name}.s16"), np.int16)
+
+    path = os.path.join(FIXDIR, "neural_cref_q8.npz")
+    np.savez_compressed(path, **q8)
+    print(f"wrote {path}: " + ", ".join(
+        f"{k}{list(v.shape)}" for k, v in sorted(q8.items())))
+
 
 if __name__ == "__main__":
     main()

@@ -36,10 +36,46 @@ def timeit(fn, *args, warmup=2, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
+def ablation_sweep(cfg, tc, params, batch, key, gru_states):
+    """In-graph attribution: fwd+bwd time of the full loss with one
+    component replaced by a cheap stand-in (models.lpcnet._abl); the delta
+    vs 'none' is that component's cost inside the real compiled graph."""
+    from lpcnet_tpu.train import losses as LL
+
+    def make_vg(ablate):
+        def loss(p, b, k, g):
+            out = M.training_forward(p, cfg, b["sig_in"], b["features"],
+                                     b["periods"], lpc=b["lpc"], rng=k,
+                                     training=True, gru_states=g,
+                                     ablate=ablate)
+            if "loss" in ablate:
+                return (jnp.sum(out["tree_probs"]) * 1e-6
+                        + jnp.mean(out["tensor_preds"] ** 2) * 1e-6)
+            return jnp.mean(LL.metric_cel_tree(
+                b["sig_out"], out["tensor_preds"], out["tree_probs"]))
+        return jax.jit(lambda p, b, k, g: jax.value_and_grad(
+            lambda pp: loss(pp, b, k, g))(p))
+
+    base = None
+    for ab in ("none", "framenet", "preds", "embed", "gru_a", "gru_b",
+               "head", "loss"):
+        ablate = () if ab == "none" else (ab,)
+        vg = make_vg(ablate)
+        dt = timeit(vg, params, batch, key, gru_states)
+        if ab == "none":
+            base = dt
+            print(f"ablate {ab:9s}: {dt*1e3:8.2f} ms")
+        else:
+            print(f"ablate {ab:9s}: {dt*1e3:8.2f} ms   "
+                  f"(component ~{(base-dt)*1e3:6.2f} ms)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--frames", type=int, default=15)
+    ap.add_argument("--ablate", action="store_true",
+                    help="run the in-graph ablation sweep instead")
     args = ap.parse_args()
 
     cfg = M.LPCNetConfig()
@@ -58,6 +94,10 @@ def main():
     key = jax.random.PRNGKey(0)
     params = M.init_params(key, cfg)
     gru_states = (jnp.zeros((b, cfg.rnn_units1)), jnp.zeros((b, cfg.rnn_units2)))
+
+    if args.ablate:
+        ablation_sweep(cfg, tc, params, batch, key, gru_states)
+        return
 
     # --- full train step
     trainer = T.Trainer(cfg, tc)
