@@ -151,8 +151,11 @@ def test_pdf_sampling_mode():
     assert exc.shape == (b,) and int(exc.min()) >= 0 and int(exc.max()) < 256
 
 
-@pytest.mark.parametrize("lookahead,gamma,e2e",
-                         [(2, 1.0, False), (0, 0.9, False), (2, 1.0, True)])
+@pytest.mark.parametrize("lookahead,gamma,e2e", [
+    # the (2, 1.0, False) combo duplicates the lookahead-2 path that the
+    # e2e case already covers and is the slowest case in the fast tier
+    pytest.param(2, 1.0, False, marks=pytest.mark.slow),
+    (0, 0.9, False), (2, 1.0, True)])
 def test_frame_network_flush_matches_sequential(lookahead, gamma, e2e):
     """frame_network_flush(count) == count sequential frame_network calls:
     conv mems, LPC FIFO, frame_count, and the last step's cond/lpc."""

@@ -97,6 +97,7 @@ def test_pallas_q8_matches_quantized_scan():
     assert np.array_equal(np.asarray(s_pal.rng.z), np.asarray(s_scan.rng.z))
 
 
+@pytest.mark.slow
 def test_pallas_q8_masked_teacher_forced_exact():
     """Teacher-forced samples are target-derived, so the int8 masked kernel
     must emit them exactly; frozen (non-advancing) streams must not move."""
