@@ -19,20 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def band_lsd(a: np.ndarray, b: np.ndarray) -> float:
     """Mean log-spectral distance over 18 bands of 20ms windows (dB)."""
-    import jax.numpy as jnp
-
-    from lpcnet_tpu.dsp import spectrum
-
-    n = min(len(a), len(b)) // 320 * 320
-    wa = a[:n].reshape(-1, 320).astype(np.float32)
-    wb = b[:n].reshape(-1, 320).astype(np.float32)
-    ea = np.asarray(spectrum.compute_band_energy(
-        spectrum.forward_transform(spectrum.apply_window(jnp.asarray(wa)))))
-    eb = np.asarray(spectrum.compute_band_energy(
-        spectrum.forward_transform(spectrum.apply_window(jnp.asarray(wb)))))
-    la = 10 * np.log10(ea + 1e-2)
-    lb = 10 * np.log10(eb + 1e-2)
-    return float(np.mean(np.abs(la - lb)))
+    from lpcnet_tpu.utils.quality import quality_metrics
+    return quality_metrics(a, b)["band_lsd_db"]
 
 
 def synth_from_features(model_path, pcm, batch_frames=None):
@@ -63,9 +51,12 @@ def main():
     out_random = synth_from_features(None, pcm)
 
     skip = 3200  # warmup
-    lsd_t = band_lsd(pcm[skip:], out_trained[skip:])
-    lsd_r = band_lsd(pcm[skip:], out_random[skip:])
-    print(f"band LSD trained: {lsd_t:.2f} dB   random: {lsd_r:.2f} dB")
+    from lpcnet_tpu.utils.quality import format_metrics, quality_metrics
+    m_t = quality_metrics(pcm[skip:], out_trained[skip:])
+    m_r = quality_metrics(pcm[skip:], out_random[skip:])
+    lsd_t, lsd_r = m_t["band_lsd_db"], m_r["band_lsd_db"]
+    print(f"trained: {format_metrics(m_t)}")
+    print(f"random:  {format_metrics(m_r)}")
     out_trained.astype(np.int16).tofile(
         os.path.join(os.path.dirname(args.model), "resynth.s16"))
     assert lsd_t < lsd_r, "trained model should beat random weights"

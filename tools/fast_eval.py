@@ -18,17 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def band_lsd(a, b):
-    import jax.numpy as jnp
-    from lpcnet_tpu.dsp import spectrum
-    n = min(len(a), len(b)) // 320 * 320
-    wa = a[:n].reshape(-1, 320).astype(np.float32)
-    wb = b[:n].reshape(-1, 320).astype(np.float32)
-    ea = np.asarray(spectrum.compute_band_energy(
-        spectrum.forward_transform(spectrum.apply_window(jnp.asarray(wa)))))
-    eb = np.asarray(spectrum.compute_band_energy(
-        spectrum.forward_transform(spectrum.apply_window(jnp.asarray(wb)))))
-    return float(np.mean(np.abs(10 * np.log10(ea + 1e-2)
-                                - 10 * np.log10(eb + 1e-2))))
+    from lpcnet_tpu.utils.quality import quality_metrics
+    return quality_metrics(a, b)["band_lsd_db"]
 
 
 _STEP_CACHE = {}
@@ -91,7 +82,9 @@ def eval_model(model_path, pcm, segments=8):
     syn = synth.reshape(segments, -1)
     if la:
         orig, syn = orig[:, :-la], syn[:, la:]
-    return np.mean([band_lsd(orig[s], syn[s]) for s in range(segments)])
+    from lpcnet_tpu.utils.quality import quality_metrics
+    per_seg = [quality_metrics(orig[s], syn[s]) for s in range(segments)]
+    return {k: float(np.mean([m[k] for m in per_seg])) for k in per_seg[0]}
 
 
 def main():
@@ -101,8 +94,9 @@ def main():
     ap.add_argument("--seconds", type=float, default=8.0)
     args = ap.parse_args()
     pcm = np.fromfile(args.audio, np.int16)[: int(args.seconds * 16000)]
-    lsd = eval_model(args.model, pcm)
-    print(f"{args.model}: band-LSD {lsd:.3f} dB")
+    from lpcnet_tpu.utils.quality import format_metrics
+    m = eval_model(args.model, pcm)
+    print(f"{args.model}: {format_metrics(m)}")
 
 
 if __name__ == "__main__":
