@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from lpcnet_tpu.models import lpcnet as M
 from lpcnet_tpu.parallel import mesh as pmesh
@@ -95,3 +96,61 @@ def test_sharded_int8_synthesis():
     assert pcm.shape == (b, 160)
     assert np.isfinite(np.asarray(pcm)).all()
     assert len({s.device for s in pcm.addressable_shards}) == 8
+
+
+@pytest.mark.slow
+def test_sharded_batched_plc():
+    """The mixed-loss batched PLC step under batch sharding: every stream
+    carries its own loss pattern; state and audio shard on the stream axis
+    and parameters replicate (the serving-pool layout, SURVEY 2.4)."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 cpu devices")
+    from lpcnet_tpu.models import plc as PM
+    from lpcnet_tpu.plc.batched import BatchedPLC
+    mesh = pmesh.make_mesh(devs[:8])
+    cfg = M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=16,
+                         pitch_embed_dim=8)
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    plc_params = PM.init_params(jax.random.PRNGKey(1))
+
+    b = 16
+    plc = BatchedPLC(fused, cfg, plc_params, batch=b, use_kernel=False)
+    dsh = pmesh.batch_sharding(mesh)
+    repl = pmesh.replicated(mesh)
+    plc.fused = jax.device_put(plc.fused, repl)
+    plc.plc_params = jax.device_put(plc.plc_params, repl)
+    # ring buffers keep the ring axis leading ([delay+1, B, ...]); shard
+    # whichever axis is the stream axis
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        axis = next(i for i, d in enumerate(x.shape) if d == b)
+        spec = P(*([None] * axis + ["data"]))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    plc.state = jax.tree.map(put, plc.state)
+
+    rng = np.random.RandomState(7)
+    t = 6
+    pcm = (rng.randn(b, t, 160) * 3000).astype(np.float32)
+    # every stream a different pattern; stream 0 all-good, stream 1 all-lost
+    lost = rng.rand(b, t) < 0.3
+    lost[0], lost[1] = False, True
+    pcm_d = jax.device_put(jnp.asarray(pcm), dsh)
+    lost_d = jax.device_put(jnp.asarray(lost), dsh)
+    outs = plc.run(pcm_d, lost_d, device_out=True)
+
+    # state and output keep the stream sharding end to end
+    assert all(len({s.device for s in o.addressable_shards}) == 8
+               for o in outs)
+    assert len({s.device
+                for s in plc.state.sstate.gru_a.addressable_shards}) == 8
+    out = np.concatenate([np.asarray(o) for o in outs], axis=1)
+    assert np.isfinite(out).all()
+
+    # parity vs the unsharded run
+    plc1 = BatchedPLC(fused, cfg, plc_params, batch=b, use_kernel=False)
+    with jax.default_device(devs[0]):
+        ref = plc1.run(pcm, lost)
+    np.testing.assert_allclose(out, ref, atol=1.0)
