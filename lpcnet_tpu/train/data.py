@@ -90,3 +90,104 @@ class LPCNetLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for i in range(len(self)):
             yield self[i]
+
+
+def lpc2rc_jnp(lpc):
+    """lpc2rc_np on device (static 16-iteration Levinson-down recursion)."""
+    import jax.numpy as jnp
+
+    order = lpc.shape[-1]
+    rc = []
+    for i in range(order, 0, -1):
+        ki = lpc[..., -1:]
+        rc.append(ki)
+        lpc = (lpc[..., :-1] - ki * lpc[..., -2::-1]) / (1 - ki * ki)
+    return jnp.concatenate(rc[::-1], axis=-1)
+
+
+class DeviceLPCNetLoader:
+    """Device-resident variant of LPCNetLoader.
+
+    The host loader's per-step cost -- scattered memmap gathers, int16 ->
+    f32 widening, and a ~3 MB host->device transfer -- serializes the train
+    loop through a remote-dispatch transport (measured 4.5 steps/s vs 14.4
+    device-bound at batch 128).  Here the WHOLE dataset uploads once
+    (int16 PCM + f32 features; a 1-hour corpus is ~0.6 GB, far under one
+    chip's HBM) and each step ships only the [B] chunk indices; slicing,
+    widening, the period quantization, and the lookahead-aligned LPC window
+    all run on device inside one jitted gather.
+
+    Same batch dict contract as LPCNetLoader (values are jax arrays).
+    """
+
+    def __init__(self, pcm_path: str, feature_path: str, batch_size: int = 128,
+                 chunk_frames: int = 15, lookahead: int = 2, e2e: bool = False,
+                 seed: int = 0, sharding=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.batch_size = batch_size
+        self.lookahead = lookahead
+        self.e2e = e2e
+        self.chunk_frames = chunk_frames
+        pcm_chunk = FRAME * chunk_frames
+
+        data = np.memmap(pcm_path, dtype="int16", mode="r")
+        nb_frames = (len(data) // (2 * pcm_chunk) - 1) // batch_size * batch_size
+        data = data[(4 - lookahead) * 2 * FRAME:]
+        data = data[: nb_frames * 2 * pcm_chunk]
+        self._data = jax.device_put(
+            np.reshape(data, (nb_frames, pcm_chunk, 2)))
+        feats = np.memmap(feature_path, dtype="float32", mode="r")
+        nf = NB_TOTAL_FEATURES
+        n_rows = len(feats) // nf
+        # flat [n_rows, 36]; chunk windows overlap by 4 context frames, so
+        # windows are gathered per step instead of materialized n x 19 here
+        self._features = jax.device_put(
+            np.reshape(feats[: n_rows * nf], (n_rows, nf)))
+        self.nb_batches = nb_frames // batch_size
+        self._rng = np.random.RandomState(seed)
+        self.on_epoch_end()
+
+        cf, la = chunk_frames, lookahead
+
+        def sample(data_d, feats_d, sel):
+            rows = jnp.take(data_d, sel, axis=0)                # [B, S, 2]
+            win = sel[:, None] * cf + jnp.arange(cf + 4)[None]  # [B, cf+4]
+            win = jnp.minimum(win, feats_d.shape[0] - 1)
+            f = jnp.take(feats_d, win.reshape(-1), axis=0
+                         ).reshape(sel.shape[0], cf + 4, nf)
+            periods = jnp.clip(
+                (0.1 + 50.0 * f[:, :, 18] + 100).astype(jnp.int32), 0, 255)
+            lw = f[:, 4 - la: cf + 4 - la, 20:20 + LPC_ORDER]
+            out = {
+                "sig_in": rows[:, :, 0].astype(jnp.float32),
+                "sig_out": rows[:, :, 1].astype(jnp.float32),
+                "features": f[:, :, :20],
+                "periods": periods,
+            }
+            if e2e:
+                out["rc"] = lpc2rc_jnp(lw)
+            else:
+                out["lpc"] = lw
+            return out
+
+        self._sample = jax.jit(sample)
+
+    def on_epoch_end(self):
+        self.indices = np.arange(self.nb_batches * self.batch_size)
+        self._rng.shuffle(self.indices)
+
+    def __len__(self):
+        return self.nb_batches
+
+    def __getitem__(self, index) -> Dict[str, np.ndarray]:
+        import jax.numpy as jnp
+
+        sel = self.indices[index * self.batch_size:(index + 1) * self.batch_size]
+        return self._sample(self._data, self._features,
+                            jnp.asarray(sel, jnp.int32))
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for i in range(len(self)):
+            yield self[i]

@@ -207,3 +207,39 @@ def test_training_e2e_variant():
         losses.append(tr.train_step(batch, sub)["loss"])
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("e2e,lookahead", [(False, 2), (True, 0)])
+def test_device_loader_matches_host_loader(tmp_path, e2e, lookahead):
+    """DeviceLPCNetLoader must produce batch-for-batch the same values as
+    the host memmap loader (same shuffle seed), entirely on device."""
+    from lpcnet_tpu.train.data import DeviceLPCNetLoader, LPCNetLoader
+
+    rng = np.random.RandomState(0)
+    cf, nf = 15, 36
+    n_chunks = 14
+    n_rows = n_chunks * cf + 8
+    feats = (rng.randn(n_rows, nf) * 0.3).astype(np.float32)
+    feats[:, 20:] *= 0.05                          # keep rc stable for e2e
+    data = rng.randint(-3000, 3000,
+                       (n_chunks * cf * 160 + 800, 2)).astype(np.int16)
+    fpath, dpath = str(tmp_path / "f.f32"), str(tmp_path / "d.s16")
+    feats.tofile(fpath)
+    data.tofile(dpath)
+
+    kw = dict(batch_size=4, chunk_frames=cf, lookahead=lookahead, e2e=e2e,
+              seed=3)
+    host = LPCNetLoader(dpath, fpath, **kw)
+    dev = DeviceLPCNetLoader(dpath, fpath, **kw)
+    assert len(host) == len(dev) >= 2
+    for k in range(len(host)):
+        hb, db = host[k], dev[k]
+        assert set(hb) == set(db)
+        for key in hb:
+            np.testing.assert_allclose(
+                np.asarray(db[key]), hb[key], rtol=1e-6, atol=1e-6,
+                err_msg=f"batch {k} key {key}")
+    # epoch reshuffle stays in lockstep (same seed stream)
+    host.on_epoch_end()
+    dev.on_epoch_end()
+    np.testing.assert_array_equal(host.indices, dev.indices)

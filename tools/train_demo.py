@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="resume params+optimizer+step from the latest "
                          "<outdir>/orbax checkpoint")
+    ap.add_argument("--host-loader", action="store_true",
+                    help="use the host memmap loader instead of the "
+                         "device-resident one (for datasets too big for HBM)")
     args = ap.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
@@ -72,7 +75,7 @@ def main():
     import jax
 
     from lpcnet_tpu.models.lpcnet import LPCNetConfig
-    from lpcnet_tpu.train.data import LPCNetLoader
+    from lpcnet_tpu.train.data import DeviceLPCNetLoader, LPCNetLoader
     from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer, TrainState
     from lpcnet_tpu.weights.checkpoint import load_checkpoint, save_checkpoint
     from lpcnet_tpu.weights.lpcnet_arrays import save_lpcnet_blob
@@ -80,7 +83,8 @@ def main():
     cfg = LPCNetConfig(rnn_units1=args.grua_size)
     tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize,
                      schedule_scale=args.schedule_scale)
-    loader = LPCNetLoader(dpath, fpath, batch_size=args.batch_size)
+    loader_cls = LPCNetLoader if args.host_loader else DeviceLPCNetLoader
+    loader = loader_cls(dpath, fpath, batch_size=args.batch_size)
     print(f"{len(loader)} batches/epoch", flush=True)
     trainer = Trainer(cfg, tc)
     if args.init_from:
