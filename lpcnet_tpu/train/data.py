@@ -135,34 +135,41 @@ class DeviceLPCNetLoader:
         data = np.memmap(pcm_path, dtype="int16", mode="r")
         nb_frames = (len(data) // (2 * pcm_chunk) - 1) // batch_size * batch_size
         data = data[(4 - lookahead) * 2 * FRAME:]
-        data = data[: nb_frames * 2 * pcm_chunk]
-        self._data = jax.device_put(
-            np.reshape(data, (nb_frames, pcm_chunk, 2)))
+        data = np.reshape(data[: nb_frames * 2 * pcm_chunk],
+                          (nb_frames, pcm_chunk, 2))
+        # TPU layout: keep the long sample axis minor (a [..., 2] minor dim
+        # tiles to 128 lanes, a 64x pad), and make every per-chunk fetch ONE
+        # contiguous big-row gather -- small-row gathers serialize on TPU
+        self._sig_in = jax.device_put(np.ascontiguousarray(data[:, :, 0]))
+        self._sig_out = jax.device_put(np.ascontiguousarray(data[:, :, 1]))
         feats = np.memmap(feature_path, dtype="float32", mode="r")
         nf = NB_TOTAL_FEATURES
-        n_rows = len(feats) // nf
-        # flat [n_rows, 36]; chunk windows overlap by 4 context frames, so
-        # windows are gathered per step instead of materialized n x 19 here
-        self._features = jax.device_put(
-            np.reshape(feats[: n_rows * nf], (n_rows, nf)))
+        n_chunk_rows = min(len(feats) // (chunk_frames * nf), nb_frames + 1)
+        # [n, cf*nf] flat per-chunk rows; a window (cf+4 frames) is row i
+        # plus the first 4 frames of row i+1
+        self._features = jax.device_put(np.reshape(
+            feats[: n_chunk_rows * chunk_frames * nf],
+            (n_chunk_rows, chunk_frames * nf)))
         self.nb_batches = nb_frames // batch_size
         self._rng = np.random.RandomState(seed)
         self.on_epoch_end()
 
         cf, la = chunk_frames, lookahead
 
-        def sample(data_d, feats_d, sel):
-            rows = jnp.take(data_d, sel, axis=0)                # [B, S, 2]
-            win = sel[:, None] * cf + jnp.arange(cf + 4)[None]  # [B, cf+4]
-            win = jnp.minimum(win, feats_d.shape[0] - 1)
-            f = jnp.take(feats_d, win.reshape(-1), axis=0
-                         ).reshape(sel.shape[0], cf + 4, nf)
+        def sample(sig_in_d, sig_out_d, feats_d, sel):
+            rows_in = jnp.take(sig_in_d, sel, axis=0)           # [B, S]
+            rows_out = jnp.take(sig_out_d, sel, axis=0)
+            nxt = jnp.minimum(sel + 1, feats_d.shape[0] - 1)
+            f0 = jnp.take(feats_d, sel, axis=0)                 # [B, cf*nf]
+            f1 = jnp.take(feats_d, nxt, axis=0)[:, :4 * nf]
+            f = jnp.concatenate([f0, f1], axis=1
+                                ).reshape(sel.shape[0], cf + 4, nf)
             periods = jnp.clip(
                 (0.1 + 50.0 * f[:, :, 18] + 100).astype(jnp.int32), 0, 255)
             lw = f[:, 4 - la: cf + 4 - la, 20:20 + LPC_ORDER]
             out = {
-                "sig_in": rows[:, :, 0].astype(jnp.float32),
-                "sig_out": rows[:, :, 1].astype(jnp.float32),
+                "sig_in": rows_in.astype(jnp.float32),
+                "sig_out": rows_out.astype(jnp.float32),
                 "features": f[:, :, :20],
                 "periods": periods,
             }
@@ -185,7 +192,7 @@ class DeviceLPCNetLoader:
         import jax.numpy as jnp
 
         sel = self.indices[index * self.batch_size:(index + 1) * self.batch_size]
-        return self._sample(self._data, self._features,
+        return self._sample(self._sig_in, self._sig_out, self._features,
                             jnp.asarray(sel, jnp.int32))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
