@@ -284,6 +284,10 @@ class BatchedPLC:
 # ---------------------------------------------------------------------------
 
 def _fnet_masked(fused, s: BatchedPLCState, feats36, active, cfg):
+    if _abl("fnet"):
+        eps = _consume(feats36)
+        return s._replace(cond_a=s.cond_a + eps, cond_b=s.cond_b + eps,
+                          lpc=s.lpc + eps)
     new_f, _, ca, cb, lpc = M.frame_network(fused, s.fstate, feats36, cfg)
     merged = _bwhere(active, (new_f, ca, cb, lpc),
                      (s.fstate, s.cond_a, s.cond_b, s.lpc))
@@ -294,10 +298,33 @@ def _fnet_masked(fused, s: BatchedPLCState, feats36, active, cfg):
 _FASTTF = __import__("os").environ.get("LPCNET_PLC_FASTTF", "1") != "0"
 _FASTFNET = __import__("os").environ.get("LPCNET_PLC_FASTFNET", "1") != "0"
 
+# In-graph ablation set for tools/profile_plc.py --ablate: a named component
+# is replaced by a cheap stand-in that still CONSUMES its inputs (so nothing
+# upstream dead-code-eliminates) and feeds a tiny data-dependent perturbation
+# downstream (so nothing constant-folds). Serving never sets this.
+_ABLATE: frozenset = frozenset()
+
+
+def _abl(name: str) -> bool:
+    return name in _ABLATE
+
+
+def _consume(*xs):
+    """A scalar that depends on every input (anti-DCE, ~zero cost)."""
+    tot = 0.0
+    for x in xs:
+        tot = tot + jnp.sum(jax.tree.reduce(
+            lambda a, l: a + jnp.mean(l.astype(jnp.float32)), x, 0.0))
+    return tot * 1e-6
+
 
 def _fnet_flush_masked(fused, s: BatchedPLCState, ring, count, cfg):
     """Batched deferred-frame-net flush: count[i] frame_network steps of
     stream i over ring[:, :count[i]] as one frame_network_flush call."""
+    if _abl("fnet"):
+        eps = _consume(ring, count)
+        return s._replace(cond_a=s.cond_a + eps, cond_b=s.cond_b + eps,
+                          lpc=s.lpc + eps)
     new_f, ca, cb, lpc = M.frame_network_flush(fused, s.fstate, ring, count,
                                                cfg)
     active = count > 0
@@ -322,6 +349,11 @@ def _tail_masked(fused, s: BatchedPLCState, preload, preload_mask,
     if live is None:
         live = s.fstate.frame_count > cfg.lookahead
     adv = advance_mask & live[:, None]
+    if _abl("tails"):
+        eps = _consume(s.cond_a, s.cond_b, s.lpc, preload, adv)
+        pcm = jnp.zeros(preload.shape, jnp.float32) + eps
+        return s._replace(sstate=s.sstate._replace(
+            gru_a=s.sstate.gru_a + eps)), pcm
     if kw is None:
         new_ss, pcm = M.synthesize_frame_masked(
             fused, s.sstate, s.cond_a, s.cond_b, s.lpc,
@@ -340,6 +372,10 @@ def _tf_prefix(fused, s: BatchedPLCState, ca, cb, lpc, targets, count, cfg,
     the two-pass drain): the GRU-only fast TF kernel when the Pallas bundle
     is active, else the masked path. Warmup gating is already folded into
     `count` by the caller."""
+    if _abl("tf"):
+        eps = _consume(ca, cb, lpc, targets, count)
+        return s._replace(sstate=s.sstate._replace(
+            gru_a=s.sstate.gru_a + eps))
     if kw is not None and _FASTTF:
         from ..kernels.sample_loop import teacher_force_prefix_auto
         new_ss = teacher_force_prefix_auto(kw, s.sstate, ca, cb, lpc,
@@ -367,7 +403,12 @@ def _fec_or_pred_masked(plc_params, s: BatchedPLCState, active, delay):
     inp_f = inp.at[:, 2 * NB_BANDS:2 * NB_BANDS + NB_FEATURES].set(
         fec_row).at[:, -1].set(-1.0)
     inp = jnp.where(have[:, None], inp_f, inp)
-    new_net, out = PM.compute_plc_pred(plc_params, s.plc_net, inp)
+    if _abl("plcnet"):
+        eps = _consume(inp)
+        new_net = jax.tree.map(lambda x: x + eps, s.plc_net)
+        out = jnp.zeros((b, NB_FEATURES), jnp.float32) + eps
+    else:
+        new_net, out = PM.compute_plc_pred(plc_params, s.plc_net, inp)
     s = s._replace(plc_net=_bwhere(active, new_net, s.plc_net))
     feats = jnp.where(have[:, None], fec_row, out[:, :NB_FEATURES])
     s = s._replace(features=jnp.where(active[:, None], feats, s.features))
@@ -412,7 +453,12 @@ def _fec_add_op(s: BatchedPLCState, feats, have, unknown):
 
 def _plc_pred_masked(plc_params, s: BatchedPLCState, plc_in, active,
                      set_features=True):
-    new_net, out = PM.compute_plc_pred(plc_params, s.plc_net, plc_in)
+    if _abl("plcnet"):
+        eps = _consume(plc_in)
+        new_net = jax.tree.map(lambda x: x + eps, s.plc_net)
+        out = jnp.zeros(plc_in.shape[:1] + (NB_FEATURES,), jnp.float32) + eps
+    else:
+        new_net, out = PM.compute_plc_pred(plc_params, s.plc_net, plc_in)
     s = s._replace(plc_net=_bwhere(active, new_net, s.plc_net))
     if set_features:
         s = s._replace(features=jnp.where(active[:, None],
@@ -446,6 +492,9 @@ def _push_feat_ring(s: BatchedPLCState, feats36, active):
 
 
 def _enc_step(s: BatchedPLCState, pcm):
+    if _abl("enc"):
+        eps = _consume(pcm)
+        return s, jnp.zeros((pcm.shape[0], 36), jnp.float32) + eps
     new_enc, feats = F.compute_single_frame_features(s.enc, pcm)
     return s._replace(enc=new_enc), feats
 
@@ -508,7 +557,8 @@ def _update_path(fused, plc_params, s: BatchedPLCState, pcm, cfg,
                  enable_blending, delay, plc_buf_size, kw=None):
     """src/lpcnet_plc.c:188-290 (causal update, no DC/FEC)."""
     b = pcm.shape[0]
-    burg_feats = burg_cepstral_analysis(pcm)
+    burg_feats = (jnp.zeros((pcm.shape[0], 2 * NB_BANDS)) + _consume(pcm)
+                  if _abl("burg") else burg_cepstral_analysis(pcm))
     skip = s.skip_analysis > 0
     bl = skip & s.blend
     if enable_blending:
@@ -678,7 +728,8 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
                        syn_dc=jnp.where(G, 0.0, s.syn_dc))
 
     # ---- update-path frame-level prep (good streams) ----------------------
-    burg_feats = burg_cepstral_analysis(pcm)
+    burg_feats = (jnp.zeros((pcm.shape[0], 2 * NB_BANDS)) + _consume(pcm)
+                  if _abl("burg") else burg_cepstral_analysis(pcm))
     skip = s.skip_analysis > 0
     bl = G & skip & s.blend
     blend_old = s.blend                    # update's final pred masks on the
@@ -755,15 +806,19 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
         if enable_blending:
             saved = (saved_f[0], s.sstate, saved_f[1], saved_f[2],
                      saved_f[3])
-        from ..kernels.sample_loop import teacher_force_blocks_auto
-        new_ss = teacher_force_blocks_auto(
-            kw, s.sstate,
-            jnp.stack([d[0] for d in drain], axis=1),
-            jnp.stack([d[1] for d in drain], axis=1),
-            jnp.stack([d[2] for d in drain], axis=1),
-            jnp.concatenate([d[3] for d in drain], axis=1),
-            jnp.stack([d[4] for d in drain], axis=1), cfg)
-        s = s._replace(sstate=new_ss)
+        if _abl("tf"):
+            s = s._replace(sstate=s.sstate._replace(
+                gru_a=s.sstate.gru_a + _consume(drain)))
+        else:
+            from ..kernels.sample_loop import teacher_force_blocks_auto
+            new_ss = teacher_force_blocks_auto(
+                kw, s.sstate,
+                jnp.stack([d[0] for d in drain], axis=1),
+                jnp.stack([d[1] for d in drain], axis=1),
+                jnp.stack([d[2] for d in drain], axis=1),
+                jnp.concatenate([d[3] for d in drain], axis=1),
+                jnp.stack([d[4] for d in drain], axis=1), cfg)
+            s = s._replace(sstate=new_ss)
     else:
         for k, (ca_k, cb_k, lpc_k, output, count) in enumerate(drain):
             if k == MAX_DRAIN - 1 and enable_blending:
@@ -944,7 +999,8 @@ def _update_path_nc(fused, plc_params, s: BatchedPLCState, pcm, cfg, kw=None):
     b = pcm.shape[0]
     s = _process_queued_update(fused, s, cfg, kw)
     pcm_save = pcm
-    burg_feats = burg_cepstral_analysis(pcm)
+    burg_feats = (jnp.zeros((pcm.shape[0], 2 * NB_BANDS)) + _consume(pcm)
+                  if _abl("burg") else burg_cepstral_analysis(pcm))
     rec = s.loss_count > 0          # first good frame after a loss
     # --- recovery: predict across the gap, reverse-blend into the buffer ---
     inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
@@ -1054,7 +1110,8 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
                        syn_dc=jnp.where(G, 0.0, s.syn_dc))
     pcm_save = pcm
 
-    burg_feats = burg_cepstral_analysis(pcm)
+    burg_feats = (jnp.zeros((pcm.shape[0], 2 * NB_BANDS)) + _consume(pcm)
+                  if _abl("burg") else burg_cepstral_analysis(pcm))
     rec = G & (s.loss_count > 0)       # first good frame after a loss
     gd = G & ~rec
     first = L & (s.loss_count == 0)    # first lost frame

@@ -195,19 +195,45 @@ def main():
     st = plc.init_state()
     lost = jnp.asarray(rng.rand(b) < 0.1)
 
-    @jax.jit
-    def full(st):
-        def body(c, _):
-            c2, out = BP._plc_frame_step_fused(
-                c, fused, plc_params, pcm, lost, cfg, True, plc.delay,
-                plc.plc_buf_size, kw=kw)
-            return c2, 0
-        c, _ = jax.lax.scan(body, st, None, length=N_IN)
-        return c
-    t = timed("full", full, st, n=10,
+    def make_full():
+        @jax.jit
+        def full(st):
+            def body(c, _):
+                c2, out = BP._plc_frame_step_fused(
+                    c, fused, plc_params, pcm, lost, cfg, True, plc.delay,
+                    plc.plc_buf_size, kw=kw)
+                return c2, 0
+            c, _ = jax.lax.scan(body, st, None, length=N_IN)
+            return c
+        return full
+
+    t = timed("full", make_full(), st, n=10,
               fetch=lambda o: np.asarray(o.loss_count[:4]))
     print(f"           = {t / N_IN * 1e3:.3f} ms/step "
           f"(budget for 1x RT: 10 ms)")
+
+    # --- in-graph ablation attribution (BP._ABLATE stand-ins) ---------------
+    if os.environ.get("LPCNET_PLC_ABLATE", "0") != "0":
+        base = t / N_IN
+        print("\nablation attribution (full-step delta when the component "
+              "is replaced by a stand-in inside the SAME compiled graph):")
+        for name in ("burg", "enc", "fnet", "plcnet", "tf", "tails"):
+            BP._ABLATE = frozenset({name})
+            try:
+                ta = timed(f"-{name}", make_full(), st, n=10,
+                           fetch=lambda o: np.asarray(o.loss_count[:4]))
+                print(f"           component ~{(base - ta / N_IN) * 1e3:7.3f}"
+                      f" ms of {base * 1e3:.3f}")
+            finally:
+                BP._ABLATE = frozenset()
+        BP._ABLATE = frozenset({"burg", "enc", "fnet", "plcnet", "tf",
+                                "tails"})
+        try:
+            ta = timed("-ALL", make_full(), st, n=10,
+                       fetch=lambda o: np.asarray(o.loss_count[:4]))
+            print(f"           bookkeeping rump = {ta / N_IN * 1e3:.3f} ms")
+        finally:
+            BP._ABLATE = frozenset()
 
 
 if __name__ == "__main__":
