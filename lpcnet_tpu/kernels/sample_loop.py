@@ -344,26 +344,66 @@ def _draw_bytes(rng_out, adv=None):
            [(r2 >> (8 * k)) & jnp.uint32(0xFF) for k in range(4)]
 
 
+_BITTREE = __import__("os").environ.get("LPCNET_BITTREE", "v1")
+
+
 def _bit_tree(W, h_b, bytes_, exc_u):
     """8 sequential bit decisions over the dual-FC tree; all 256 node logits
     from one [BT, nb] x [nb, 512] matmul, lane-selects via masked VPU
     reduces (sample_mdense, src/nnet.c:163-214).
 
-    The node-logit and RNG-threshold selects are fused into ONE masked
+    v1: the node-logit and RNG-threshold selects are fused into ONE masked
     reduce per bit over a [BT, 512] payload of [logits | -thresholds]: the
     two hot lanes are disjoint (node < 256 <= 256+byte), so the reduce
     yields exactly logit - thr, and IEEE sign-exactness of subtraction makes
     `diff > 0` decide identically to the reference's `thr < logit`
-    (halves the sequential VPU selects on the sampler's critical path)."""
+    (halves the sequential VPU selects on the sampler's critical path).
+
+    v2 (LPCNET_BITTREE=v2): all 8 threshold lookups hoist OUT of the
+    sequential chain into one [BT, 8, 256] masked reduce (the bytes are all
+    known before the descent), and each bit's node select reads only its
+    STATIC subtree slice -- at bit b the candidate rows (1<<b)|val span
+    exactly lanes [2^b, 2^{b+1}) of all_logits, so the masked reduce covers
+    2^b lanes instead of 512 (255 total across the descent vs 4096).
+    diff = logit - thr is the same two-term f32 sum as v1's two-hot reduce:
+    bit decisions are bit-identical."""
     pre = jnp.dot(h_b, W["dual_w"][:],
                   preferred_element_type=jnp.float32) + W["dual_bias"][:]
     tpre = W["dual_factor"][:] * jnp.tanh(pre)       # [BT, 512]
     all_logits = tpre[:, :256] + tpre[:, 256:]       # [BT, 256]
+    val = jnp.zeros_like(exc_u)
+    if _BITTREE in ("v2", "v3"):
+        bt = all_logits.shape[0]
+        if _BITTREE == "v3":
+            # one 3D masked reduce for all 8 lookups (bigger temp: [BT,8,256])
+            b8 = jnp.concatenate([b.astype(jnp.int32) for b in bytes_],
+                                 axis=1)             # [BT, 8]
+            l256 = jax.lax.broadcasted_iota(jnp.int32, (bt, 8, 256), 2)
+            table3 = jnp.broadcast_to(W["logit_table"][:][None, :, :],
+                                      (bt, 8, 256))
+            thr = jnp.sum(jnp.where(l256 == b8[:, :, None], table3, 0.0),
+                          axis=2)                    # [BT, 8]
+        else:
+            # 8 independent 256-lane reduces, no cross-dependency: ILP-
+            # schedulable, small reused temps
+            l256 = jax.lax.broadcasted_iota(jnp.int32, (bt, 256), 1)
+            table = jnp.broadcast_to(W["logit_table"][:], (bt, 256))
+            thr = jnp.concatenate(
+                [jnp.sum(jnp.where(l256 == b.astype(jnp.int32), table, 0.0),
+                         axis=1, keepdims=True) for b in bytes_], axis=1)
+        for b in range(8):
+            width = 1 << b
+            sub = all_logits[:, width:2 * width]     # [BT, 2^b]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (bt, width), 1)
+            logit = jnp.sum(jnp.where(lanes == val, sub, 0.0),
+                            axis=1, keepdims=True)
+            bit = (logit - thr[:, b:b + 1] > 0).astype(jnp.int32)
+            val = (val << 1) | bit
+        return val
     payload = jnp.concatenate(
         [all_logits,
          jnp.broadcast_to(-W["logit_table"][:], all_logits.shape)], axis=1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, payload.shape, 1)
-    val = jnp.zeros_like(exc_u)
     for b in range(8):
         rows = (1 << b) | val
         sel = bytes_[b].astype(jnp.int32) + 256

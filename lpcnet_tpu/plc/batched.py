@@ -466,6 +466,203 @@ def _plc_pred_masked(plc_params, s: BatchedPLCState, plc_in, active,
     return s
 
 
+_FASTCHAIN = __import__("os").environ.get("LPCNET_PLC_FASTCHAIN", "1") != "0"
+
+
+def _chain_causal(plc_params, s: BatchedPLCState, L, bl, burg_feats, delay,
+                  enable_blending):
+    """Precompute + run the fused PLC-net chain for the causal step.
+
+    The causal step's PLC-net calls -- the blend-restore prediction (bl
+    streams), one get_fec_or_pred per drain iteration (lost streams with
+    queued audio), and the lost-frame get_fec_or_pred -- have inputs that
+    are all deterministic functions of the entry state: burg cepstra, and
+    FEC queue rows under the pointer-advance replay of
+    src/lpcnet_plc.c:147-166. Blend and lost streams are disjoint, so the
+    restore prediction rides kernel step 0. Runs the whole chain as ONE
+    Pallas call (kernels/plc_chain.py) and returns per-step outputs,
+    running states, masks, and final FEC pointers for the frame-rate
+    program to replay ring pushes / feature selects / pointer writes at
+    the original program points.
+    """
+    from ..kernels.plc_chain import plc_chain_pallas, plc_chain_weights
+
+    b = L.shape[0]
+    k_steps = MAX_DRAIN + 1
+    q = s.fec_feats.shape[1]
+    read, keep, skp = s.fec_read, s.fec_keep, s.fec_skip
+    lanes = jnp.arange(q)[None, :]
+    inputs, masks, actives, haves, rows = [], [], [], [], []
+    for k in range(k_steps):
+        active = (L & (s.pcm_fill > k * FRAME_SIZE)) if k < MAX_DRAIN else L
+        have = (read != s.fec_len) & (skp == 0)
+        oh = (lanes == read[:, None]).astype(jnp.float32)
+        row = jnp.einsum("bq,bqf->bf", oh, s.fec_feats)
+        inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+        inp = inp.at[:, 2 * NB_BANDS:2 * NB_BANDS + NB_FEATURES].set(row)
+        inp = inp.at[:, -1].set(-1.0)
+        inp = jnp.where(have[:, None], inp, 0.0)
+        mask = active
+        if k == 0 and enable_blending:
+            inp_a = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+            inp_a = inp_a.at[:, :2 * NB_BANDS].set(burg_feats)
+            inp_a = inp_a.at[:, -1].set(1.0)
+            inp = jnp.where(bl[:, None], inp_a, inp)
+            mask = mask | bl
+        inputs.append(inp)
+        masks.append(mask)
+        actives.append(active)
+        haves.append(have)
+        rows.append(row)
+        am = active & have
+        read2 = read + 1
+        keep2 = jnp.maximum(jnp.maximum(keep, read2 - delay - 1), 0)
+        read = jnp.where(am, read2, read)
+        keep = jnp.where(am, keep2, keep)
+        skp = jnp.where(active & ~have & (skp > 0), skp - 1, skp)
+
+    cw = plc_chain_weights(plc_params)
+    h1s, h2s, outs = plc_chain_pallas(
+        cw, s.plc_net.gru1, s.plc_net.gru2,
+        jnp.stack(inputs, axis=1), jnp.stack(masks, axis=1), k_steps)
+    # the +0.1 correlation boost (models/plc.py compute_plc_pred)
+    outs = outs.at[:, :, NB_FEATURES - 1].set(
+        jnp.minimum(0.5, outs[:, :, NB_FEATURES - 1] + 0.1))
+    return dict(h1s=h1s, h2s=h2s, outs=outs, actives=actives, haves=haves,
+                rows=rows, read=read, keep=keep, skip=skp)
+
+
+def _chain_feats(ch, k):
+    """Step-k feature select: the FEC row when one was consumed, else the
+    prediction (matches _fec_or_pred_masked)."""
+    return jnp.where(ch["haves"][k][:, None], ch["rows"][k],
+                     ch["outs"][:, k])
+
+
+# Active-stream compaction for the causal step's sample-rate section: the
+# TF drain + both sampled tails only advance lost/blend streams (~19% of a
+# 256-stream pool at 10% loss), but the kernels pay full-batch MXU passes.
+# "auto" compacts the section to a capacity-C sub-batch (one gather in, one
+# scatter out) whenever the active count fits, falling back to the
+# full-batch kernels otherwise (lax.cond). "0" disables; an integer pins C.
+_COMPACT_ENV = __import__("os").environ.get("LPCNET_PLC_COMPACT", "auto")
+
+
+def _compact_capacity(b: int) -> int:
+    if _COMPACT_ENV in ("0", "off"):
+        return 0
+    if _COMPACT_ENV not in ("auto", ""):
+        return int(_COMPACT_ENV)
+    # 3/8 of the pool (4.9 sigma above the 19% expected active mass at
+    # B=256) rounded up to the int8 sublane tile
+    return (3 * b // 8 + 31) // 32 * 32 if b >= 128 else 0
+
+
+def _section_body(kw, cfg, sec, enable_blending, remove_dc, bt):
+    """The causal step's contiguous sample-rate section on explicit
+    per-stream inputs: TF-drain blocks, sampled head tail, blend cross-fade
+    + sstate restore, sampled/TF second tail. Only touches sstate; inactive
+    streams (neither lost nor blending) are frozen bit-exactly by the
+    kernels' advance masks, which is what makes compaction sound."""
+    from ..kernels.sample_loop import (synthesize_frame_masked_auto,
+                                       synthesize_frame_masked_pallas,
+                                       teacher_force_blocks_auto,
+                                       teacher_force_blocks_pallas)
+
+    # bt == 0: the batch-padding auto wrappers (full-batch dispatch, any b);
+    # bt > 0: direct kernel calls on the compacted sub-batch (b == bt)
+    if bt:
+        def tf_blocks(kw, ss, ca, cb, lp, tg, cn, cfg):
+            return teacher_force_blocks_pallas(kw, ss, ca, cb, lp, tg, cn,
+                                               cfg, FRAME_SIZE, bt=bt)
+
+        def synth(kw, ss, ca, cb, lp, pre, pm, adv, cfg, n):
+            return synthesize_frame_masked_pallas(kw, ss, ca, cb, lp, pre,
+                                                  pm, adv, cfg, n, bt=bt)
+    else:
+        def tf_blocks(kw, ss, ca, cb, lp, tg, cn, cfg):
+            return teacher_force_blocks_auto(kw, ss, ca, cb, lp, tg, cn, cfg)
+
+        def synth(kw, ss, ca, cb, lp, pre, pm, adv, cfg, n):
+            return synthesize_frame_masked_auto(kw, ss, ca, cb, lp, pre, pm,
+                                                adv, cfg)
+
+    b = sec["L"].shape[0]
+    L, bl = sec["L"], sec["bl"]
+    if _abl("tf"):
+        eps = _consume(sec["ca_blk"], sec["cb_blk"], sec["lpc_blk"],
+                       sec["targets"], sec["counts"])
+        ss = sec["sstate"]._replace(gru_a=sec["sstate"].gru_a + eps)
+    else:
+        ss = tf_blocks(kw, sec["sstate"], sec["ca_blk"], sec["cb_blk"],
+                       sec["lpc_blk"], sec["targets"], sec["counts"], cfg)
+    act = L | bl
+    adv1 = act[:, None] & sec["live1"][:, None] & jnp.ones((b, _N1), bool)
+    zp = jnp.zeros((b, _N1), jnp.float32)
+    zm = jnp.zeros((b, _N1), bool)
+    if _abl("tails"):
+        eps = _consume(sec["ca1"], sec["cb1"], sec["lpc1"], adv1)
+        ss = ss._replace(gru_a=ss.gru_a + eps)
+        head = zp + eps
+    else:
+        ss, head = synth(kw, ss, sec["ca1"], sec["cb1"], sec["lpc1"], zp,
+                         zm, adv1, cfg, _N1)
+    pcm80 = sec["pcm80"]
+    if enable_blending:
+        w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_N1) / _N1)
+        k2d = head - sec["delta"][:, None] if remove_dc else head
+        blended = jnp.floor(0.5 + w * pcm80 + (1 - w) * k2d)
+        pcm80 = jnp.where(bl[:, None], blended, pcm80)
+        ss = _bwhere(bl, sec["saved_ss"], ss)
+    tf2 = bl[:, None] & jnp.ones((b, _TO), bool)
+    adv2 = act[:, None] & sec["live2"][:, None] & jnp.ones((b, _TO), bool)
+    if _abl("tails"):
+        eps = _consume(sec["ca2"], sec["cb2"], sec["lpc2"], adv2, pcm80)
+        ss = ss._replace(gru_a=ss.gru_a + eps)
+        tail = jnp.zeros((b, _TO), jnp.float32) + eps
+    else:
+        ss, tail = synth(kw, ss, sec["ca2"], sec["cb2"], sec["lpc2"],
+                         pcm80 * tf2, tf2 & adv2, adv2, cfg, _TO)
+    return ss, head, tail, pcm80
+
+
+def _run_sample_section(kw, cfg, sec, enable_blending, remove_dc):
+    """Dispatch _section_body full-batch or compacted to the active
+    streams. The gather pads every array with a sentinel row so overflow
+    slots (idx == b) read zeros and scatter harmlessly into the dropped
+    row; jnp.nonzero(size=C) keeps real indices unique."""
+    b = sec["L"].shape[0]
+    cap = _compact_capacity(b)
+    if not cap or cap >= b:
+        return _section_body(kw, cfg, sec, enable_blending, remove_dc, 0)
+    mask = sec["L"] | sec["bl"]
+    na = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.nonzero(mask, size=cap, fill_value=b)[0]
+
+    def gather(x):
+        xp = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+        return jnp.take(xp, idx, axis=0)
+
+    def scatter(full, comp):
+        fp = jnp.concatenate([full, jnp.zeros_like(full[:1])], axis=0)
+        return fp.at[idx].set(comp)[:b]
+
+    def compact_branch(sec):
+        csec = jax.tree.map(gather, sec)
+        ss_c, head_c, tail_c, pcm80_c = _section_body(
+            kw, cfg, csec, enable_blending, remove_dc, cap)
+        new_ss = jax.tree.map(scatter, sec["sstate"], ss_c)
+        head = scatter(jnp.zeros((b, _N1), jnp.float32), head_c)
+        tail = scatter(jnp.zeros((b, _TO), jnp.float32), tail_c)
+        pcm80 = scatter(sec["pcm80"], pcm80_c)
+        return new_ss, head, tail, pcm80
+
+    def full_branch(sec):
+        return _section_body(kw, cfg, sec, enable_blending, remove_dc, 0)
+
+    return jax.lax.cond(na <= cap, compact_branch, full_branch, sec)
+
+
 def _push_plc_ring(s: BatchedPLCState, active):
     new_ring = jax.tree.map(
         lambda ring, cur: jnp.where(
@@ -746,14 +943,23 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
                              L & (i < s.feat_count), cfg)
     s = s._replace(feat_count=jnp.where(L, 0, s.feat_count))
 
+    # the fused PLC-net chain replaces the 5 sequential PLC-net calls with
+    # one Pallas call when the kernel path is active (see _chain_causal)
+    use_chain = kw is not None and _FASTCHAIN and not _abl("plcnet")
+    ch = None
     if enable_blending:
         # update path: restore the pre-loss PLC net and predict the gap
         s = s._replace(plc_net=_bwhere(
             bl, jax.tree.map(lambda x: x[delay], s.plc_ring), s.plc_net))
-        inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
-        inp = inp.at[:, :2 * NB_BANDS].set(burg_feats)
-        inp = inp.at[:, -1].set(1.0)
-        s = _plc_pred_masked(plc_params, s, inp, bl)
+        if use_chain:
+            ch = _chain_causal(plc_params, s, L, bl, burg_feats, delay, True)
+            s = s._replace(features=jnp.where(
+                bl[:, None], ch["outs"][:, 0], s.features))
+        else:
+            inp = jnp.zeros((b, PM.PLC_INPUT_SIZE), jnp.float32)
+            inp = inp.at[:, :2 * NB_BANDS].set(burg_feats)
+            inp = inp.at[:, -1].set(1.0)
+            s = _plc_pred_masked(plc_params, s, inp, bl)
         for _ in range(delay):
             s = _push_feat_ring(s, _pad36(s.features), bl)
     else:
@@ -766,6 +972,10 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
             bl, jnp.maximum(s.fec_read - delay, s.fec_keep), s.fec_read))
         fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
         s = s._replace(sstate=_bwhere(bl, fresh, s.sstate))
+        if use_chain:
+            # after the rewind: the pointer replay starts from these values
+            ch = _chain_causal(plc_params, s, L, bl, burg_feats, delay,
+                               False)
 
     # ---- conceal: drain queued audio (teacher-forced); the update path's
     # pre-tmp frame net rides the LAST iteration's (disjoint masks, same
@@ -783,7 +993,13 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
         count = jnp.minimum(s.pcm_fill, FRAME_SIZE)
         output = s.pcm_buf[:, :FRAME_SIZE]
         s = _push_plc_ring(s, active)
-        s, _ = _fec_or_pred_masked(plc_params, s, active, delay)
+        if ch is not None:
+            s = s._replace(
+                features=jnp.where(active[:, None], _chain_feats(ch, k),
+                                   s.features),
+                plc_net=PM.PLCNetState(ch["h1s"][:, k], ch["h2s"][:, k]))
+        else:
+            s, _ = _fec_or_pred_masked(plc_params, s, active, delay)
         if k == MAX_DRAIN - 1 and enable_blending:
             saved_f = (s.fstate, s.cond_a, s.cond_b, s.lpc)
             fmask = active | bl
@@ -799,26 +1015,68 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
             pcm_fill=jnp.where(active, s.pcm_fill - count, s.pcm_fill),
             skip_analysis=jnp.where(active, s.skip_analysis + 1,
                                     s.skip_analysis))
-    if kw is not None and _FASTTF:
-        # blend streams never drain (bl subseteq good, drain needs lost), so
-        # their sstate is invariant across pass 2 -- capture `saved` up
-        # front and run ALL drain blocks as ONE multi-block TF kernel call
-        if enable_blending:
-            saved = (saved_f[0], s.sstate, saved_f[1], saved_f[2],
-                     saved_f[3])
-        if _abl("tf"):
-            s = s._replace(sstate=s.sstate._replace(
-                gru_a=s.sstate.gru_a + _consume(drain)))
+    def _lost_featpred(s):
+        # conceal: feature prediction + attenuation for the lost frame
+        # (a queued FEC frame substitutes for the prediction and resets the
+        # loss count, src/lpcnet_plc.c:307-316)
+        if ch is not None:
+            kf = MAX_DRAIN
+            fec_hit = ch["haves"][kf] & L
+            s = s._replace(
+                features=jnp.where(L[:, None], _chain_feats(ch, kf),
+                                   s.features),
+                plc_net=PM.PLCNetState(ch["h1s"][:, kf], ch["h2s"][:, kf]),
+                fec_read=ch["read"], fec_keep=ch["keep"],
+                fec_skip=ch["skip"])
         else:
-            from ..kernels.sample_loop import teacher_force_blocks_auto
-            new_ss = teacher_force_blocks_auto(
-                kw, s.sstate,
-                jnp.stack([d[0] for d in drain], axis=1),
-                jnp.stack([d[1] for d in drain], axis=1),
-                jnp.stack([d[2] for d in drain], axis=1),
-                jnp.concatenate([d[3] for d in drain], axis=1),
-                jnp.stack([d[4] for d in drain], axis=1), cfg)
-            s = s._replace(sstate=new_ss)
+            s, fec_hit = _fec_or_pred_masked(plc_params, s, L, delay)
+        lc = jnp.where(fec_hit, 0, s.loss_count + 1)
+        att = _att_of(lc)
+        return s._replace(
+            features=jnp.where(L[:, None], s.features.at[:, 0].set(
+                jnp.maximum(-10.0, s.features[:, 0] + att)),
+                s.features),
+            loss_count=jnp.where(L, lc, s.loss_count))
+
+    blv = bl if enable_blending else jnp.zeros_like(bl)
+    if kw is not None and _FASTTF:
+        # ---- sample-rate section (pass 2 drain + both tails), with all
+        # formerly-interleaved frame-rate work hoisted ahead of it so the
+        # section can compact to the active streams (_run_sample_section).
+        # Reordering is sound: the hoisted ops touch disjoint state (plc
+        # net, features, fec pointers, fstate/cond) and none of them read
+        # the section's outputs; the blend restore splits into its
+        # frame-rate half here (fstate/cond, from the pass-1 capture) and
+        # its sstate half inside the section after the tmp synthesis.
+        s = _push_plc_ring(s, L)
+        cond1 = (s.cond_a, s.cond_b, s.lpc)
+        live1 = s.fstate.frame_count > cfg.lookahead
+        saved_ss = s.sstate if enable_blending else None
+        if enable_blending:
+            s = s._replace(
+                fstate=_bwhere(bl, saved_f[0], s.fstate),
+                cond_a=jnp.where(bl[:, None], saved_f[1], s.cond_a),
+                cond_b=jnp.where(bl[:, None], saved_f[2], s.cond_b),
+                lpc=jnp.where(bl[:, None], saved_f[3], s.lpc))
+        s = _lost_featpred(s)
+        s = _fnet_masked(fused, s, _pad36(s.features), L | blv, cfg)
+        sec = dict(
+            sstate=s.sstate, saved_ss=saved_ss,
+            ca_blk=jnp.stack([d[0] for d in drain], axis=1),
+            cb_blk=jnp.stack([d[1] for d in drain], axis=1),
+            lpc_blk=jnp.stack([d[2] for d in drain], axis=1),
+            targets=jnp.concatenate([d[3] for d in drain], axis=1),
+            counts=jnp.stack([d[4] for d in drain], axis=1),
+            ca1=cond1[0], cb1=cond1[1], lpc1=cond1[2], live1=live1,
+            ca2=s.cond_a, cb2=s.cond_b, lpc2=s.lpc,
+            live2=s.fstate.frame_count > cfg.lookahead,
+            pcm80=pcm[:, :_N1], delta=delta if remove_dc else None,
+            L=L, bl=blv)
+        new_ss, head, tail, pcm80 = _run_sample_section(
+            kw, cfg, sec, enable_blending, remove_dc)
+        s = s._replace(sstate=new_ss)
+        pcm = pcm.at[:, :_N1].set(pcm80)
+        pcm_c = jnp.concatenate([head, tail], axis=1)
     else:
         for k, (ca_k, cb_k, lpc_k, output, count) in enumerate(drain):
             if k == MAX_DRAIN - 1 and enable_blending:
@@ -827,52 +1085,42 @@ def _plc_frame_step_fused(state: BatchedPLCState, fused, plc_params, pcm,
             s = _tf_prefix(fused, s, ca_k, cb_k, lpc_k, output, count, cfg,
                            kw)
 
-    # ---- shared sampled call 1: conceal head (lost) | update tmp (blend) --
-    # (codec mode has no tmp/resync synthesis; only lost streams advance)
-    blv = bl if enable_blending else jnp.zeros_like(bl)
-    s = _push_plc_ring(s, L)
-    adv1 = (L | blv)[:, None] & jnp.ones((b, _N1), bool)
-    s, k2 = _tail_masked(fused, s, jnp.zeros((b, _N1)),
-                         jnp.zeros((b, _N1), bool), adv1, cfg, kw)
-    head = k2                               # lost streams' first half-frame
+        # ---- shared sampled call 1: conceal head (lost) | update tmp ------
+        # (codec mode has no tmp/resync synthesis; only lost streams advance)
+        s = _push_plc_ring(s, L)
+        adv1 = (L | blv)[:, None] & jnp.ones((b, _N1), bool)
+        s, k2 = _tail_masked(fused, s, jnp.zeros((b, _N1)),
+                             jnp.zeros((b, _N1), bool), adv1, cfg, kw)
+        head = k2                           # lost streams' first half-frame
 
-    if enable_blending:
-        # update path: cross-fade the model's continuation into real audio
-        # (in remove_dc mode the model output carries the residual synthesis
-        # DC, subtracted as the truncated delta, src/lpcnet_plc.c:224-231)
-        w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_N1) / _N1)
-        k2d = k2 - delta[:, None] if remove_dc else k2
-        blended = jnp.floor(0.5 + w * pcm[:, :_N1] + (1 - w) * k2d)
-        pcm = pcm.at[:, :_N1].set(jnp.where(bl[:, None], blended,
-                                            pcm[:, :_N1]))
-        restored = _bwhere(bl, saved,
-                           (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc))
-        s = s._replace(fstate=restored[0], sstate=restored[1],
-                       cond_a=restored[2], cond_b=restored[3],
-                       lpc=restored[4])
+        if enable_blending:
+            # update path: cross-fade the model's continuation into real
+            # audio (in remove_dc mode the model output carries the residual
+            # synthesis DC, subtracted as the truncated delta,
+            # src/lpcnet_plc.c:224-231)
+            w = 0.5 - 0.5 * jnp.cos(jnp.pi * jnp.arange(_N1) / _N1)
+            k2d = k2 - delta[:, None] if remove_dc else k2
+            blended = jnp.floor(0.5 + w * pcm[:, :_N1] + (1 - w) * k2d)
+            pcm = pcm.at[:, :_N1].set(jnp.where(bl[:, None], blended,
+                                                pcm[:, :_N1]))
+            restored = _bwhere(
+                bl, saved, (s.fstate, s.sstate, s.cond_a, s.cond_b, s.lpc))
+            s = s._replace(fstate=restored[0], sstate=restored[1],
+                           cond_a=restored[2], cond_b=restored[3],
+                           lpc=restored[4])
 
-    # ---- conceal: feature prediction + attenuation for the lost frame -----
-    # (a queued FEC frame substitutes for the prediction and resets the
-    # loss count, src/lpcnet_plc.c:307-316)
-    s, fec_hit = _fec_or_pred_masked(plc_params, s, L, delay)
-    lc = jnp.where(fec_hit, 0, s.loss_count + 1)
-    att = _att_of(lc)
-    s = s._replace(
-        features=jnp.where(L[:, None], s.features.at[:, 0].set(
-            jnp.maximum(-10.0, s.features[:, 0] + att)),
-            s.features),
-        loss_count=jnp.where(L, lc, s.loss_count))
+        s = _lost_featpred(s)
 
-    # ---- shared frame net: conceal pre-tail (lost) | update post-restore --
-    fmask2 = L | blv
-    s = _fnet_masked(fused, s, _pad36(s.features), fmask2, cfg)
+        # ---- shared frame net: conceal pre-tail | update post-restore ----
+        fmask2 = L | blv
+        s = _fnet_masked(fused, s, _pad36(s.features), fmask2, cfg)
 
-    # ---- shared call 2: conceal tail (free-run) | update resync (TF) ------
-    tf2 = blv[:, None] & jnp.ones((b, _TO), bool)
-    adv2 = (L[:, None] & jnp.ones((b, _TO), bool)) | tf2
-    s, tail = _tail_masked(fused, s, pcm[:, :_TO] * tf2, tf2, adv2, cfg, kw,
-                           sampled=True)
-    pcm_c = jnp.concatenate([head, tail], axis=1)
+        # ---- shared call 2: conceal tail (free-run) | update resync (TF) --
+        tf2 = blv[:, None] & jnp.ones((b, _TO), bool)
+        adv2 = (L[:, None] & jnp.ones((b, _TO), bool)) | tf2
+        s, tail = _tail_masked(fused, s, pcm[:, :_TO] * tf2, tf2, adv2, cfg,
+                               kw, sampled=True)
+        pcm_c = jnp.concatenate([head, tail], axis=1)
 
     # ---- pcm queue management ---------------------------------------------
     # blend streams restart the queue from the unblended half-frame

@@ -261,3 +261,36 @@ def test_tf_blocks_matches_sequential_prefix_calls():
                                   np.asarray(s_seq.last_exc))
     np.testing.assert_array_equal(np.asarray(s_blk.deemph),
                                   np.asarray(s_seq.deemph))
+
+
+@pytest.mark.parametrize("q8", [False, True])
+def test_bit_tree_v2_v3_bit_identical(monkeypatch, q8):
+    """LPCNET_BITTREE v1/v2/v3 must produce BIT-identical synthesis: v2/v3
+    only restructure the sampler's selects (hoisted threshold lookups,
+    static subtree slices); every diff is the same two-term f32 sum."""
+    import jax.numpy as jnp
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(2), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    if q8:
+        from lpcnet_tpu.nn import quantized as Q
+        fused = Q.quantize_fused(fused)
+    kw = K.kernel_weights(fused, cfg)
+
+    b, n = 128, 24
+    feats = jax.random.normal(jax.random.PRNGKey(17), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+    s0 = M.init_sample_state(b, cfg)
+
+    outs = {}
+    for variant in ("v1", "v2", "v3"):
+        monkeypatch.setattr(K, "_BITTREE", variant)
+        s, pcm = K.synthesize_frame_pallas(kw, s0, ca, cb, lpc, cfg,
+                                           n_samples=n, bt=b)
+        outs[variant] = (np.asarray(pcm), np.asarray(s.last_exc),
+                         np.asarray(s.gru_b))
+    for variant in ("v2", "v3"):
+        for a, r, name in zip(outs[variant], outs["v1"],
+                              ("pcm", "exc", "gru_b")):
+            np.testing.assert_array_equal(a, r, f"{variant} {name}")

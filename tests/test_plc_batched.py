@@ -370,3 +370,136 @@ def test_fused_kernel_fasttf_passthrough_and_drain(monkeypatch):
         out_fast[4:], np.clip(pcm[4:], -32768, 32767), atol=1e-3)
     # frames before the loss identical on all streams
     np.testing.assert_array_equal(out_fast[:, :4], out_ref[:, :4])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("enable_blending", [True, False])
+def test_fused_chain_kernel_matches_unfused(monkeypatch, enable_blending):
+    """LPCNET_PLC_FASTCHAIN on vs off (kernel path, interpret mode): the
+    fused PLC-net chain kernel must reproduce the sequential masked calls'
+    features, PLC state, FEC pointers, and concealment audio, including
+    blend restores, drain fec consumption, and the lost-frame pred."""
+    import os
+    os.environ["LPCNET_PALLAS_INTERPRET"] = "1"
+    import jax
+    from lpcnet_tpu.kernels import plc_chain as PC
+    from lpcnet_tpu.kernels import sample_loop as K
+    from lpcnet_tpu.models import lpcnet as M2
+    from lpcnet_tpu.models import plc as PM2
+    from lpcnet_tpu.plc import batched as BP
+    monkeypatch.setattr(K, "_INTERPRET", True)
+    monkeypatch.setattr(PC, "_INTERPRET", True)
+
+    cfg = M2.LPCNetConfig()
+    params = M2.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M2.fuse_inference_params(params, cfg)
+    plc_params = PM2.init_params(jax.random.PRNGKey(1))
+    b, n_frames = 8, 12
+    rng = np.random.RandomState(2)
+    pcm = (rng.randn(b, n_frames, 160) * 2000).astype(np.float32)
+    lost = rng.rand(b, n_frames) < 0.35
+    lost[0] = False
+    fec = (rng.randn(4, 20) * 0.2).astype(np.float32)
+
+    def run(fastchain):
+        monkeypatch.setattr(BP, "_FASTCHAIN", fastchain)
+        plc = BP.BatchedPLC(fused, cfg, plc_params, batch=b,
+                            use_kernel=True,
+                            enable_blending=enable_blending)
+        if enable_blending:   # also exercise the FEC-row consumption path
+            for row in fec:
+                plc.fec_add(np.tile(row, (b, 1)),
+                            have=np.arange(b) % 2 == 0)
+        out = plc.run(pcm, lost, chunk=4)
+        return out, plc.state
+
+    out_c, st_c = run(True)
+    out_r, st_r = run(False)
+    np.testing.assert_allclose(np.asarray(st_c.plc_net.gru1),
+                               np.asarray(st_r.plc_net.gru1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_c.plc_net.gru2),
+                               np.asarray(st_r.plc_net.gru2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_c.features),
+                               np.asarray(st_r.features), atol=2e-4)
+    for f in ("fec_read", "fec_keep", "fec_skip", "loss_count"):
+        np.testing.assert_array_equal(np.asarray(getattr(st_c, f)),
+                                      np.asarray(getattr(st_r, f)), f)
+    # stream 0 is all-good: exact passthrough both ways
+    np.testing.assert_array_equal(out_c[0], out_r[0])
+    # concealment audio in the same tolerance class (float-eps conds can
+    # flip knife-edge sampler bits on a small fraction of samples)
+    d = np.abs(out_c.astype(np.float64) - out_r.astype(np.float64))
+    assert (d > 2).mean() < 0.02, f"diverged: {(d > 2).mean():.1%}"
+
+
+@pytest.mark.parametrize("enable_blending", [True, False])
+def test_sample_section_compaction_matches_full(monkeypatch,
+                                                enable_blending):
+    """LPCNET_PLC_COMPACT on vs off (kernel path, interpret mode): running
+    the sample-rate section on a compacted active-stream sub-batch must
+    reproduce the full-batch kernels -- per-stream kernel math is
+    row-independent and inactive streams are frozen by the advance masks.
+    Integer/pointer state and never-active streams are exact; float GRU
+    state is allowed ulp-level drift (the sub-batch runs a different
+    matmul tile shape, so K-accumulation order differs -- interpret-mode
+    XLA picks a different GEMM blocking for 8-row vs 256-row operands).
+    The loss pattern drives both cond branches: sparse-loss frames take the
+    compact path, a dense-loss frame overflows capacity and falls back."""
+    import os
+    os.environ["LPCNET_PALLAS_INTERPRET"] = "1"
+    import jax
+    from lpcnet_tpu.kernels import plc_chain as PC
+    from lpcnet_tpu.kernels import sample_loop as K
+    from lpcnet_tpu.models import lpcnet as M2
+    from lpcnet_tpu.models import plc as PM2
+    from lpcnet_tpu.plc import batched as BP
+    monkeypatch.setattr(K, "_INTERPRET", True)
+    monkeypatch.setattr(PC, "_INTERPRET", True)
+
+    cfg = M2.LPCNetConfig()
+    params = M2.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M2.fuse_inference_params(params, cfg)
+    plc_params = PM2.init_params(jax.random.PRNGKey(1))
+    b, n_frames = 16, 10
+    rng = np.random.RandomState(5)
+    pcm = (rng.randn(b, n_frames, 160) * 2000).astype(np.float32)
+    lost = rng.rand(b, n_frames) < 0.2       # sparse: compact branch
+    lost[:, 4] = rng.rand(b) < 0.9           # dense: fallback branch
+    lost[0] = False
+    fec = (rng.randn(3, 20) * 0.2).astype(np.float32)
+
+    def run(compact_env):
+        monkeypatch.setattr(BP, "_COMPACT_ENV", compact_env)
+        plc = BP.BatchedPLC(fused, cfg, plc_params, batch=b,
+                            use_kernel=True,
+                            enable_blending=enable_blending)
+        for row in fec:   # exercise the FEC pointer replay under compaction
+            plc.fec_add(np.tile(row, (b, 1)), have=np.arange(b) % 3 == 0)
+        out = plc.run(pcm, lost, chunk=5)
+        return out, plc.state
+
+    out_c, st_c = run("8")
+    out_r, st_r = run("0")
+    # stream 0 never loses a frame: exact passthrough both ways
+    np.testing.assert_array_equal(out_c[0], out_r[0])
+    # concealment audio in the same tolerance class as the chain test
+    # (ulp-level GRU-state drift can flip knife-edge sampler bits)
+    d = np.abs(out_c.astype(np.float64) - out_r.astype(np.float64))
+    assert (d > 2).mean() < 0.02, f"diverged: {(d > 2).mean():.1%}"
+    for f in ("loss_count", "fec_read", "fec_skip", "pcm_fill"):
+        np.testing.assert_array_equal(np.asarray(getattr(st_c, f)),
+                                      np.asarray(getattr(st_r, f)), f)
+    np.testing.assert_allclose(np.asarray(st_c.features),
+                               np.asarray(st_r.features), atol=2e-4)
+    st_leaves_c = jax.tree.leaves(st_c.sstate)
+    st_leaves_r = jax.tree.leaves(st_r.sstate)
+    for lc, lr in zip(st_leaves_c, st_leaves_r):
+        lc, lr = np.asarray(lc), np.asarray(lr)
+        # never-active stream: frozen/advanced identically, bit-exact
+        np.testing.assert_array_equal(lc[0], lr[0])
+        if np.issubdtype(lc.dtype, np.floating):
+            # PCM-scale signal leaves need a PCM-scale ulp allowance
+            tol = 1e-5 * max(1.0, np.abs(lr).max())
+            np.testing.assert_allclose(lc, lr, atol=tol)
+        else:
+            np.testing.assert_array_equal(lc, lr)

@@ -37,7 +37,7 @@ def timed(name, fn, *args, n=50, warm=3, fetch=None):
         out = fn(*args)
     (fetch or (lambda o: np.asarray(jax.tree.leaves(o)[0]).ravel()[:4]))(out)
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:10s} {dt * 1e3:8.3f} ms")
+    print(f"{name:10s} {dt * 1e3:8.3f} ms", flush=True)
     return dt
 
 
@@ -62,7 +62,7 @@ def main():
         from lpcnet_tpu.nn import quantized as Q
         fused_k = Q.quantize_fused(fused)
         kw = K.kernel_weights(fused_k, cfg)
-        print("(int8 kernel bundle)")
+        print("(int8 kernel bundle)", flush=True)
     else:
         kw = K.kernel_weights(fused, cfg)
     rng = np.random.RandomState(0)
@@ -70,6 +70,7 @@ def main():
 
     # scan-amortize each component over n_inner iterations inside one jit
     N_IN = 20
+    skip_standalone = os.environ.get("LPCNET_PLC_SKIP_STANDALONE", "0") != "0"
 
     def scanned(step):
         @jax.jit
@@ -81,12 +82,16 @@ def main():
         return run
 
     # --- burg ---------------------------------------------------------------
+    if skip_standalone:
+        return full_section(jax, jnp, np, os, b, cfg, fused, plc_params, kw,
+                            pcm, rng, BP, N_IN)
+
     @scanned
     def burg_s(x):
         f = burg_cepstral_analysis(x)
         return (x.at[:, 0].add(f[:, 0] * 1e-6),)
     t = timed("burg", burg_s, pcm, n=20)
-    print(f"           = {t / N_IN * 1e3:.3f} ms/call")
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call", flush=True)
 
     # --- enc step -----------------------------------------------------------
     enc0 = F.init_encoder_state(b)
@@ -96,7 +101,7 @@ def main():
         enc2, feats = F.compute_single_frame_features(enc, x)
         return enc2, x.at[:, 0].add(feats[:, 0] * 1e-6)
     t = timed("enc", enc_s, enc0, pcm, n=20)
-    print(f"           = {t / N_IN * 1e3:.3f} ms/call")
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call", flush=True)
 
     # --- frame net (masked wrapper like _fnet_masked) -------------------------
     s0 = None
@@ -111,7 +116,7 @@ def main():
             active.reshape((b,) + (1,) * (n.ndim - 1)), n, o), new_f, fst)
         return fst2, f36.at[:, 0].add(ca[:, 0] * 1e-6)
     t = timed("fnet", fnet_s, fstate, feats36, n=20)
-    print(f"           = {t / N_IN * 1e3:.3f} ms/call (x9 per step)")
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call (x9 per step)", flush=True)
 
     # --- fnet, bf16 MXU passes (precision A/B) -------------------------------
     @scanned
@@ -122,7 +127,7 @@ def main():
             active.reshape((b,) + (1,) * (n.ndim - 1)), n, o), new_f, fst)
         return fst2, f36.at[:, 0].add(ca[:, 0] * 1e-6)
     t = timed("fnet_bf16", fnet_bf16_s, fstate, feats36, n=20)
-    print(f"           = {t / N_IN * 1e3:.3f} ms/call")
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call", flush=True)
 
     # --- plc pred -----------------------------------------------------------
     pstate = PM.init_state(b)
@@ -135,7 +140,7 @@ def main():
             active.reshape((b,) + (1,) * (n.ndim - 1)), n, o), ps2, ps)
         return ps3, x.at[:, 0].add(pred[:, 0] * 1e-6)
     t = timed("plcpred", plc_s, pstate, inp, n=20)
-    print(f"           = {t / N_IN * 1e3:.3f} ms/call (x2 per step)")
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call (x2 per step)", flush=True)
 
     # --- plc pred, bf16 MXU passes -------------------------------------------
     @scanned
@@ -146,7 +151,7 @@ def main():
             active.reshape((b,) + (1,) * (n.ndim - 1)), n, o), ps2, ps)
         return ps3, x.at[:, 0].add(pred[:, 0] * 1e-6)
     t = timed("plc_bf16", plc_bf16_s, pstate, inp, n=20)
-    print(f"           = {t / N_IN * 1e3:.3f} ms/call")
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call", flush=True)
 
     # --- masked tails ---------------------------------------------------------
     sstate = M.init_sample_state(b, cfg)
@@ -170,7 +175,7 @@ def main():
             return c
         t = timed(label, run, sstate, n=20,
                   fetch=lambda o: np.asarray(o.deemph[:4]))
-        print(f"           = {t / N_IN * 1e3:.3f} ms/call ({mult})")
+        print(f"           = {t / N_IN * 1e3:.3f} ms/call ({mult})", flush=True)
 
     tail_bench(80, True, "tail80", "x2 per step")
     tail_bench(160, False, "tail160tf", "x3 drain per step")
@@ -188,8 +193,14 @@ def main():
         return c
     t = timed("tf_fast160", run_tf, sstate, n=20,
               fetch=lambda o: np.asarray(o.deemph[:4]))
-    print(f"           = {t / N_IN * 1e3:.3f} ms/call (x3 drain per step)")
+    print(f"           = {t / N_IN * 1e3:.3f} ms/call (x3 drain per step)", flush=True)
 
+    full_section(jax, jnp, np, os, b, cfg, fused, plc_params, kw, pcm,
+                 rng, BP, N_IN)
+
+
+def full_section(jax, jnp, np, os, b, cfg, fused, plc_params, kw, pcm, rng,
+                 BP, N_IN):
     # --- full fused step -------------------------------------------------------
     plc = BP.BatchedPLC(fused, cfg, plc_params, batch=b, fused_step=True)
     st = plc.init_state()
@@ -213,27 +224,33 @@ def main():
           f"(budget for 1x RT: 10 ms)")
 
     # --- in-graph ablation attribution (BP._ABLATE stand-ins) ---------------
-    if os.environ.get("LPCNET_PLC_ABLATE", "0") != "0":
+    # LPCNET_PLC_ABLATE=1 sweeps every component; =name1,name2 runs a subset
+    # (each variant is a fresh full-step compile, minutes each through the
+    # tunnel); "ALL" ablates everything at once (the bookkeeping rump).
+    abl = os.environ.get("LPCNET_PLC_ABLATE", "0")
+    if abl != "0":
+        names = (("burg", "enc", "fnet", "plcnet", "tf", "tails", "ALL")
+                 if abl == "1" else tuple(abl.split(",")))
         base = t / N_IN
         print("\nablation attribution (full-step delta when the component "
-              "is replaced by a stand-in inside the SAME compiled graph):")
-        for name in ("burg", "enc", "fnet", "plcnet", "tf", "tails"):
-            BP._ABLATE = frozenset({name})
+              "is replaced by a stand-in inside the SAME compiled graph):",
+              flush=True)
+        everything = frozenset(("burg", "enc", "fnet", "plcnet", "tf",
+                                "tails"))
+        for name in names:
+            BP._ABLATE = everything if name == "ALL" else frozenset({name})
             try:
                 ta = timed(f"-{name}", make_full(), st, n=10,
                            fetch=lambda o: np.asarray(o.loss_count[:4]))
-                print(f"           component ~{(base - ta / N_IN) * 1e3:7.3f}"
-                      f" ms of {base * 1e3:.3f}")
+                if name == "ALL":
+                    print(f"           bookkeeping rump = "
+                          f"{ta / N_IN * 1e3:.3f} ms", flush=True)
+                else:
+                    print(f"           component ~"
+                          f"{(base - ta / N_IN) * 1e3:7.3f}"
+                          f" ms of {base * 1e3:.3f}", flush=True)
             finally:
                 BP._ABLATE = frozenset()
-        BP._ABLATE = frozenset({"burg", "enc", "fnet", "plcnet", "tf",
-                                "tails"})
-        try:
-            ta = timed("-ALL", make_full(), st, n=10,
-                       fetch=lambda o: np.asarray(o.loss_count[:4]))
-            print(f"           bookkeeping rump = {ta / N_IN * 1e3:.3f} ms")
-        finally:
-            BP._ABLATE = frozenset()
 
 
 if __name__ == "__main__":
