@@ -663,6 +663,204 @@ def _run_sample_section(kw, cfg, sec, enable_blending, remove_dc):
     return jax.lax.cond(na <= cap, compact_branch, full_branch, sec)
 
 
+def _compact_wrap(b, mask, cap):
+    """(gather, scatter, n_active) for a capacity-`cap` compaction of
+    `mask`'s streams: overflow slots read a zero sentinel row and scatter
+    into the dropped row b (same contract as _run_sample_section)."""
+    na = jnp.sum(mask.astype(jnp.int32))
+    idx = jnp.nonzero(mask, size=cap, fill_value=b)[0]
+
+    def gather(x):
+        xp = jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+        return jnp.take(xp, idx, axis=0)
+
+    def scatter(full, comp):
+        fp = jnp.concatenate([full, jnp.zeros_like(full[:1])], axis=0)
+        return fp.at[idx].set(comp)[:b]
+
+    return gather, scatter, na
+
+
+def _nc_queued_body(fused, cfg, kw, sec, bt):
+    """_process_queued_update's device work (deferred resync TF,
+    src/lpcnet_plc.c:277-281) on explicit per-stream inputs; bt > 0 pins
+    the compacted kernel tile, bt == 0 runs full-batch."""
+    from ..kernels.sample_loop import (teacher_force_prefix_auto,
+                                       teacher_force_prefix_pallas)
+    q = sec["q"]
+    fst, sst = sec["fstate"], sec["sstate"]
+    ca, cb, lp = sec["ca"], sec["cb"], sec["lpc"]
+    if _abl("fnet"):
+        eps = _consume(sec["features"])
+        ca, cb, lp = ca + eps, cb + eps, lp + eps
+    else:
+        new_f, _, caf, cbf, lpf = M.frame_network(
+            fused, fst, _pad36(sec["features"]), cfg)
+        fst = _bwhere(q, new_f, fst)
+        ca = jnp.where(q[:, None], caf, ca)
+        cb = jnp.where(q[:, None], cbf, cb)
+        lp = jnp.where(q[:, None], lpf, lp)
+    live = fst.frame_count > cfg.lookahead
+    n = sec["queued_samples"].shape[-1]
+    count = jnp.where(q & live, n, 0)
+    if _abl("tf"):
+        eps = _consume(ca, cb, lp, sec["queued_samples"], count)
+        sst = sst._replace(gru_a=sst.gru_a + eps)
+    elif bt:
+        sst = teacher_force_prefix_pallas(kw, sst, ca, cb, lp,
+                                          sec["queued_samples"], count, cfg,
+                                          n, bt=bt)
+    else:
+        sst = teacher_force_prefix_auto(kw, sst, ca, cb, lp,
+                                        sec["queued_samples"], count, cfg)
+    return dict(fstate=fst, sstate=sst, ca=ca, cb=cb, lpc=lp)
+
+
+def _queued_update_fast(fused, s: BatchedPLCState, cfg, kw):
+    """_process_queued_update, compacted to the queued streams (last
+    frame's recoveries, a small fraction of a steady pool) when the kernel
+    fast path is on; falls back full-batch past capacity."""
+    b = s.features.shape[0]
+    cap = _compact_capacity(b)
+    if kw is None or not _FASTTF or not cap or cap >= b:
+        return _process_queued_update(fused, s, cfg, kw)
+    sec = dict(q=s.queued, fstate=s.fstate, sstate=s.sstate,
+               features=s.features, ca=s.cond_a, cb=s.cond_b, lpc=s.lpc,
+               queued_samples=s.queued_samples)
+    ref = dict(fstate=s.fstate, sstate=s.sstate, ca=s.cond_a, cb=s.cond_b,
+               lpc=s.lpc)
+    gather, scatter, na = _compact_wrap(b, s.queued, cap)
+
+    def compact_branch(sec):
+        out_c = _nc_queued_body(fused, cfg, kw, jax.tree.map(gather, sec),
+                                cap)
+        return {k: jax.tree.map(scatter, ref[k], out_c[k]) for k in ref}
+
+    def full_branch(sec):
+        out = _nc_queued_body(fused, cfg, kw, sec, 0)
+        return {k: out[k] for k in ref}
+
+    out = jax.lax.cond(na <= cap, compact_branch, full_branch, sec)
+    return s._replace(fstate=out["fstate"], sstate=out["sstate"],
+                      cond_a=out["ca"], cond_b=out["cb"], lpc=out["lpc"],
+                      queued=jnp.zeros_like(s.queued))
+
+
+def _nc_section_body(fused, cfg, kw, sec, bt):
+    """The non-causal step's L|rec sample-rate chain on explicit
+    per-stream inputs: conceal head / recovery forward tail (sampled TO),
+    recovery reverse conditioning + teacher-forced reverse synthesis, then
+    conceal tail / recovery reverse tail (sampled 80). Streams outside
+    L|rec are frozen bit-exactly by the advance masks (what makes
+    compaction sound); recovery rows' post-section fstate/cond/sstate are
+    restored by the caller, so only L rows' sstate and the two tails are
+    load-bearing outputs."""
+    from ..kernels.sample_loop import (synthesize_frame_masked_auto,
+                                       synthesize_frame_masked_pallas,
+                                       teacher_force_prefix_auto,
+                                       teacher_force_prefix_pallas)
+    b = sec["L"].shape[0]
+    L, rec, first = sec["L"], sec["rec"], sec["first"]
+    act = L | rec
+    sst, fst = sec["sstate"], sec["fstate"]
+    ca, cb, lp = sec["ca"], sec["cb"], sec["lpc"]
+    advTO = act[:, None] & jnp.ones((b, _TO), bool)
+    pmask = first[:, None] & advTO
+    live1 = fst.frame_count > cfg.lookahead
+    if _abl("tails"):
+        eps = _consume(ca, cb, lp, sec["buf_head"], advTO)
+        sst = sst._replace(gru_a=sst.gru_a + eps)
+        t1 = jnp.zeros((b, _TO), jnp.float32) + eps
+    elif bt:
+        adv = advTO & live1[:, None]
+        sst, t1 = synthesize_frame_masked_pallas(
+            kw, sst, ca, cb, lp, sec["buf_head"], pmask & adv, adv, cfg,
+            _TO, bt=bt)
+    else:
+        adv = advTO & live1[:, None]
+        sst, t1 = synthesize_frame_masked_auto(
+            kw, sst, ca, cb, lp, sec["buf_head"], pmask & adv, adv, cfg)
+    # recovery: reverse-time synthesis from fresh sample state (rng kept)
+    fresh = M.init_sample_state(b, cfg)._replace(rng=sst.rng)
+    sst = _bwhere(rec, fresh, sst)
+    if _abl("fnet"):
+        eps = _consume(sec["features"])
+        ca2, cb2, lp2 = ca + eps, cb + eps, lp + eps
+    else:
+        new_f, _, caf, cbf, lpf = M.frame_network(
+            fused, fst, _pad36(sec["features"]), cfg)
+        fst = _bwhere(rec, new_f, fst)
+        ca2 = jnp.where(rec[:, None], caf, ca)
+        cb2 = jnp.where(rec[:, None], cbf, cb)
+        lp2 = jnp.where(rec[:, None], lpf, lp)
+    live_r = fst.frame_count > cfg.lookahead
+    count = jnp.where(rec & live_r, FRAME_SIZE, 0)
+    if _abl("tf"):
+        eps = _consume(ca2, cb2, lp2, sec["rev"], count)
+        sst = sst._replace(gru_a=sst.gru_a + eps)
+    elif bt:
+        sst = teacher_force_prefix_pallas(kw, sst, ca2, cb2, lp2,
+                                          sec["rev"], count, cfg,
+                                          FRAME_SIZE, bt=bt)
+    else:
+        sst = teacher_force_prefix_auto(kw, sst, ca2, cb2, lp2, sec["rev"],
+                                        count, cfg)
+    adv80 = act[:, None] & jnp.ones((b, _N1), bool)
+    live2 = fst.frame_count > cfg.lookahead
+    if _abl("tails"):
+        eps = _consume(ca2, cb2, lp2, adv80)
+        sst = sst._replace(gru_a=sst.gru_a + eps)
+        t2 = jnp.zeros((b, _N1), jnp.float32) + eps
+    elif bt:
+        adv = adv80 & live2[:, None]
+        sst, t2 = synthesize_frame_masked_pallas(
+            kw, sst, ca2, cb2, lp2, jnp.zeros((b, _N1)),
+            jnp.zeros((b, _N1), bool), adv, cfg, _N1, bt=bt)
+    else:
+        adv = adv80 & live2[:, None]
+        sst, t2 = synthesize_frame_masked_auto(
+            kw, sst, ca2, cb2, lp2, jnp.zeros((b, _N1)),
+            jnp.zeros((b, _N1), bool), adv, cfg)
+    return dict(sstate=sst, fstate=fst, ca=ca2, cb=cb2, lpc=lp2, t1=t1,
+                t2=t2)
+
+
+def _run_nc_section(fused, cfg, kw, s: BatchedPLCState, L, rec, first, pcm):
+    """Dispatch _nc_section_body full-batch or compacted to the L|rec
+    streams (same sentinel-row contract as _run_sample_section). Returns
+    (state', t1, t2)."""
+    b = L.shape[0]
+    sec = dict(L=L, rec=rec, first=first, sstate=s.sstate, fstate=s.fstate,
+               features=s.features, ca=s.cond_a, cb=s.cond_b, lpc=s.lpc,
+               buf_head=s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE],
+               rev=pcm[:, ::-1])
+    ref = dict(sstate=s.sstate, fstate=s.fstate, ca=s.cond_a, cb=s.cond_b,
+               lpc=s.lpc)
+    cap = _compact_capacity(b)
+    if not cap or cap >= b:
+        out = _nc_section_body(fused, cfg, kw, sec, 0)
+    else:
+        gather, scatter, na = _compact_wrap(b, L | rec, cap)
+
+        def compact_branch(sec):
+            out_c = _nc_section_body(fused, cfg, kw,
+                                     jax.tree.map(gather, sec), cap)
+            out = {k: jax.tree.map(scatter, ref[k], out_c[k]) for k in ref}
+            out["t1"] = scatter(jnp.zeros((b, _TO), jnp.float32),
+                                out_c["t1"])
+            out["t2"] = scatter(jnp.zeros((b, _N1), jnp.float32),
+                                out_c["t2"])
+            return out
+
+        def full_branch(sec):
+            return _nc_section_body(fused, cfg, kw, sec, 0)
+
+        out = jax.lax.cond(na <= cap, compact_branch, full_branch, sec)
+    s = s._replace(sstate=out["sstate"], fstate=out["fstate"],
+                   cond_a=out["ca"], cond_b=out["cb"], lpc=out["lpc"])
+    return s, out["t1"], out["t2"]
+
+
 def _push_plc_ring(s: BatchedPLCState, active):
     new_ring = jax.tree.map(
         lambda ring, cur: jnp.where(
@@ -1343,7 +1541,7 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
     pcm_in = pcm
 
     # ---- shared: drain the deferred resync queued by a previous recovery --
-    s = _process_queued_update(fused, s, cfg, kw)
+    s = _queued_update_fast(fused, s, cfg, kw)
 
     # ---- DC removal pass 1 on incoming audio (good streams,
     # src/lpcnet_plc.c:404-412): pending synthesis DC folds into the tracker
@@ -1384,40 +1582,55 @@ def _plc_frame_step_nc_fused(state: BatchedPLCState, fused, plc_params, pcm,
     # ---- shared fnet + call 1 (TO): conceal head | recovery forward tail --
     s = _fnet_masked(fused, s, _pad36(s.features), L | rec, cfg)
     buf_head = s.pcm_buf[:, FRAME_SIZE - _TO:FRAME_SIZE]
-    advTO = (L | rec)[:, None] & jnp.ones((b, _TO), bool)
-    s, t1 = _tail_masked(fused, s, buf_head, first[:, None] & advTO, advTO,
-                         cfg, kw)
-    head = jnp.where(first[:, None], buf_head, t1)
-    # recovery stores its forward tail in the buffer head; continued-loss
-    # conceal refreshes the head with its own continuation
-    s = s._replace(pcm_buf=jnp.where(
-        (rec | (L & ~first))[:, None],
-        s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(t1), s.pcm_buf))
+    # the whole L|rec sample-rate chain (tail1 -> recovery reverse TF ->
+    # tail2) compacts to the active streams when the kernel fast path is on
+    # (remove_dc interleaves full-row DC passes between the calls; it keeps
+    # the original program)
+    nc_fast = kw is not None and _FASTTF and not remove_dc
+    if nc_fast:
+        s, t1, t2 = _run_nc_section(fused, cfg, kw, s, L, rec, first, pcm)
+        head = jnp.where(first[:, None], buf_head, t1)
+        s = s._replace(pcm_buf=jnp.where(
+            (rec | (L & ~first))[:, None],
+            s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(t1),
+            s.pcm_buf))
+    else:
+        advTO = (L | rec)[:, None] & jnp.ones((b, _TO), bool)
+        s, t1 = _tail_masked(fused, s, buf_head, first[:, None] & advTO,
+                             advTO, cfg, kw)
+        head = jnp.where(first[:, None], buf_head, t1)
+        # recovery stores its forward tail in the buffer head; continued-
+        # loss conceal refreshes the head with its own continuation
+        s = s._replace(pcm_buf=jnp.where(
+            (rec | (L & ~first))[:, None],
+            s.pcm_buf.at[:, FRAME_SIZE - _TO:FRAME_SIZE].set(t1),
+            s.pcm_buf))
 
-    # ---- DC removal pass 2 (recovery streams, src/lpcnet_plc.c:414-426):
-    # rewind the tracker, fold in the forward tail's synthesis DC, re-remove
-    if remove_dc:
-        syn_t1 = _syn_dc_step80(jnp.zeros_like(s.syn_dc), t1)
-        delta = jnp.where(rec, jnp.trunc(delta + syn_t1), delta)
-        lp2, dcm2 = _dc_path(mem_bak + syn_t1, pcm_in)
-        pcm = jnp.where(rec[:, None], pcm_in - lp2, pcm)
-        lp = jnp.where(rec[:, None], lp2, lp)
-        s = s._replace(dc_mem=jnp.where(rec, dcm2, s.dc_mem))
-        pcm_save = jnp.where(rec[:, None], pcm, pcm_save)
+        # ---- DC removal pass 2 (recovery streams, src/lpcnet_plc.c:414-
+        # 426): rewind the tracker, fold in the forward tail's synthesis
+        # DC, re-remove
+        if remove_dc:
+            syn_t1 = _syn_dc_step80(jnp.zeros_like(s.syn_dc), t1)
+            delta = jnp.where(rec, jnp.trunc(delta + syn_t1), delta)
+            lp2, dcm2 = _dc_path(mem_bak + syn_t1, pcm_in)
+            pcm = jnp.where(rec[:, None], pcm_in - lp2, pcm)
+            lp = jnp.where(rec[:, None], lp2, lp)
+            s = s._replace(dc_mem=jnp.where(rec, dcm2, s.dc_mem))
+            pcm_save = jnp.where(rec[:, None], pcm, pcm_save)
 
-    # recovery: reverse-time synthesis from the incoming audio
-    fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
-    s = s._replace(sstate=_bwhere(rec, fresh, s.sstate))
-    s = _fnet_masked(fused, s, _pad36(s.features), rec, cfg)
-    rev = pcm[:, ::-1]
-    live_r = s.fstate.frame_count > cfg.lookahead
-    s = _tf_prefix(fused, s, s.cond_a, s.cond_b, s.lpc, rev,
-                   jnp.where(rec & live_r, FRAME_SIZE, 0), cfg, kw)
+        # recovery: reverse-time synthesis from the incoming audio
+        fresh = M.init_sample_state(b, cfg)._replace(rng=s.sstate.rng)
+        s = s._replace(sstate=_bwhere(rec, fresh, s.sstate))
+        s = _fnet_masked(fused, s, _pad36(s.features), rec, cfg)
+        rev = pcm[:, ::-1]
+        live_r = s.fstate.frame_count > cfg.lookahead
+        s = _tf_prefix(fused, s, s.cond_a, s.cond_b, s.lpc, rev,
+                       jnp.where(rec & live_r, FRAME_SIZE, 0), cfg, kw)
 
-    # ---- shared call 2 (80): conceal tail | recovery reverse tail ---------
-    adv80 = (L | rec)[:, None] & jnp.ones((b, _N1), bool)
-    s, t2 = _tail_masked(fused, s, jnp.zeros((b, _N1)),
-                         jnp.zeros((b, _N1), bool), adv80, cfg, kw)
+        # ---- shared call 2 (80): conceal tail | recovery reverse tail ----
+        adv80 = (L | rec)[:, None] & jnp.ones((b, _N1), bool)
+        s, t2 = _tail_masked(fused, s, jnp.zeros((b, _N1)),
+                             jnp.zeros((b, _N1), bool), adv80, cfg, kw)
     pcm_c = jnp.concatenate([head, t2], axis=1)
 
     # recovery: reverse-blend into the buffered forward tail, then restore

@@ -503,3 +503,104 @@ def test_sample_section_compaction_matches_full(monkeypatch,
             np.testing.assert_allclose(lc, lr, atol=tol)
         else:
             np.testing.assert_array_equal(lc, lr)
+
+
+def test_nc_section_compaction_matches_full(monkeypatch):
+    """Non-causal LPCNET_PLC_COMPACT on vs off (kernel path, interpret
+    mode): the compacted L|rec sample-rate chain and the compacted
+    deferred-resync update must reproduce the full-batch kernels.  Same
+    soundness argument and tolerance classes as the causal test above; the
+    loss pattern drives sparse frames (compact branch), a dense frame
+    (capacity-overflow fallback), and recoveries (queued-resync streams)."""
+    import os
+    os.environ["LPCNET_PALLAS_INTERPRET"] = "1"
+    import jax
+    from lpcnet_tpu.kernels import sample_loop as K
+    from lpcnet_tpu.models import lpcnet as M2
+    from lpcnet_tpu.models import plc as PM2
+    from lpcnet_tpu.plc import batched as BP
+    monkeypatch.setattr(K, "_INTERPRET", True)
+
+    cfg = M2.LPCNetConfig(lookahead=0)
+    params = M2.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M2.fuse_inference_params(params, cfg)
+    plc_params = PM2.init_params(jax.random.PRNGKey(1))
+    b, n_frames = 16, 10
+    rng = np.random.RandomState(7)
+    pcm = (rng.randn(b, n_frames, 160) * 2000).astype(np.float32)
+    lost = rng.rand(b, n_frames) < 0.2       # sparse: compact branch
+    lost[:, 5] = rng.rand(b) < 0.9           # dense: fallback branch
+    lost[0] = False
+
+    def run(compact_env):
+        monkeypatch.setattr(BP, "_COMPACT_ENV", compact_env)
+        plc = BP.BatchedPLC(fused, cfg, plc_params, batch=b,
+                            use_kernel=True, non_causal=True)
+        out = plc.run(pcm, lost, chunk=5)
+        return out, plc.state
+
+    out_c, st_c = run("8")
+    out_r, st_r = run("0")
+    # stream 0 never loses a frame: exact passthrough both ways
+    np.testing.assert_array_equal(out_c[0], out_r[0])
+    d = np.abs(out_c.astype(np.float64) - out_r.astype(np.float64))
+    assert (d > 2).mean() < 0.02, f"diverged: {(d > 2).mean():.1%}"
+    for f in ("loss_count", "queued"):
+        np.testing.assert_array_equal(np.asarray(getattr(st_c, f)),
+                                      np.asarray(getattr(st_r, f)), f)
+    np.testing.assert_allclose(np.asarray(st_c.features),
+                               np.asarray(st_r.features), atol=2e-4)
+    # NC feeds synthesized audio back into feature re-analysis, so allowed
+    # knife-edge sampler flips (<2% of audio above) propagate small state
+    # diffs; a compaction logic bug would produce wholesale wrong rows
+    # (O(scale) on most elements), which the fraction + max gates catch.
+    for lc, lr in zip(jax.tree.leaves(st_c.sstate),
+                      jax.tree.leaves(st_r.sstate)):
+        lc, lr = np.asarray(lc), np.asarray(lr)
+        np.testing.assert_array_equal(lc[0], lr[0])
+        if np.issubdtype(lc.dtype, np.floating):
+            scale = max(1.0, np.abs(lr).max())
+            d = np.abs(lc.astype(np.float64) - lr.astype(np.float64))
+            frac = (d > 1e-5 * scale).mean()
+            assert frac < 0.15, f"{frac:.1%} beyond ulp class"
+            assert d.max() <= 0.02 * scale, (d.max(), scale)
+        else:
+            np.testing.assert_array_equal(lc, lr)
+
+
+def test_nc_kernel_section_matches_scan(monkeypatch):
+    """Non-causal kernel fast path (sectioned program) vs the bit-exact
+    scan path: good streams and pre-loss frames are exact; concealment
+    audio stays in the kernel tolerance class (bf16-matmul sampling can
+    flip knife-edge bits on a small fraction of samples)."""
+    import os
+    os.environ["LPCNET_PALLAS_INTERPRET"] = "1"
+    import jax
+    from lpcnet_tpu.kernels import sample_loop as K
+    from lpcnet_tpu.models import lpcnet as M2
+    from lpcnet_tpu.models import plc as PM2
+    from lpcnet_tpu.plc import batched as BP
+    monkeypatch.setattr(K, "_INTERPRET", True)
+
+    cfg = M2.LPCNetConfig(lookahead=0)
+    params = M2.init_params(jax.random.PRNGKey(0), cfg)
+    fused = M2.fuse_inference_params(params, cfg)
+    plc_params = PM2.init_params(jax.random.PRNGKey(1))
+    b, n_frames = 8, 10
+    rng = np.random.RandomState(3)
+    pcm = (rng.randn(b, n_frames, 160) * 2000).astype(np.float32)
+    lost = np.zeros((b, n_frames), bool)
+    lost[:4, 4] = True        # loss + recovery + queued resync on half
+    lost[:2, 5] = True        # a double loss for continued-conceal cover
+
+    def run(use_kernel):
+        plc = BP.BatchedPLC(fused, cfg, plc_params, batch=b,
+                            use_kernel=use_kernel, non_causal=True)
+        return plc.run(pcm, lost, chunk=5)
+
+    out_k = run(True)
+    out_s = run(False)
+    np.testing.assert_array_equal(out_k[4:], out_s[4:])
+    np.testing.assert_array_equal(out_k[:, :4], out_s[:, :4])
+    d = np.abs(out_k.astype(np.float64) - out_s.astype(np.float64))
+    assert (d > 2).mean() < 0.05, f"diverged: {(d > 2).mean():.1%}"

@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="resume params+optimizer+step from the latest "
                          "<outdir>/orbax checkpoint")
+    ap.add_argument("--density-split", nargs=3, type=float, default=None,
+                    help="GRU-A recurrent density triple; 1 1 1 trains "
+                         "dense (the TPU inference kernels run dense "
+                         "either way -- sparsity is a CPU-SIMD concern)")
     ap.add_argument("--host-loader", action="store_true",
                     help="use the host memmap loader instead of the "
                          "device-resident one (for datasets too big for HBM)")
@@ -82,7 +86,9 @@ def main():
 
     cfg = LPCNetConfig(rnn_units1=args.grua_size)
     tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize,
-                     schedule_scale=args.schedule_scale)
+                     schedule_scale=args.schedule_scale,
+                     **({"density": tuple(args.density_split)}
+                        if args.density_split else {}))
     loader_cls = LPCNetLoader if args.host_loader else DeviceLPCNetLoader
     loader = loader_cls(dpath, fpath, batch_size=args.batch_size)
     print(f"{len(loader)} batches/epoch", flush=True)
