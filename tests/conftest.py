@@ -1,11 +1,24 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set env vars before jax is imported anywhere.
+Must set env vars before jax is imported anywhere.  This gate has to pass
+on a machine where the TPU tunnel is DOWN even though the image exports
+`JAX_PLATFORMS=axon` + `PYTHONPATH=/root/.axon_site`, so we force (not
+setdefault) the CPU platform and strip the axon plugin's site dir from the
+import path before jax ever loads -- otherwise pytest collection hangs
+trying to reach the unreachable relay.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and ".axon_site" not in p)
+# drop any axon plugin modules sitecustomize may have pre-imported
+for _m in [m for m in sys.modules if "axon" in m]:
+    del sys.modules[_m]
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,9 +27,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# The axon TPU plugin ignores JAX_PLATFORMS, so pin the default device to the
-# host CPU backend explicitly; multi-chip tests grab jax.devices("cpu") (8
-# virtual devices via the XLA flag above).
+# Belt and suspenders: pin the default device to the host CPU backend
+# explicitly; multi-chip tests grab jax.devices("cpu") (8 virtual devices
+# via the XLA flag above).
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import numpy as np  # noqa: E402
