@@ -42,6 +42,7 @@ class TrainConfig:
     density: Tuple[float, float, float] = (0.05, 0.05, 0.2)
     grub_density: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     schedule_scale: float = 1.0   # compresses sparsify/quantize schedules
+    ema_decay: float = 0.0        # >0 keeps an EMA of params for eval/ship
 
     @property
     def chunk_samples(self) -> int:
@@ -104,7 +105,7 @@ def make_train_step(cfg: M.LPCNetConfig, tc: TrainConfig, optimizer,
     """Build the jitted DP train step. Sparsification runs inside jit on a
     lax.cond gated by the schedule's interval arithmetic."""
 
-    def step_fn(state: TrainState, batch, rng, gru_states):
+    def step_fn(state: TrainState, batch, rng, gru_states, ema):
         (loss, (metrics, new_states)), grads = jax.value_and_grad(
             lambda p: loss_fn(p, cfg, tc, batch, rng, gru_states),
             has_aux=True)(state.params)
@@ -112,8 +113,11 @@ def make_train_step(cfg: M.LPCNetConfig, tc: TrainConfig, optimizer,
         params = optax.apply_updates(state.params, updates)
         params = apply_constraints(params)
         new_states = jax.tree.map(jax.lax.stop_gradient, new_states)
+        if tc.ema_decay > 0.0:       # static at trace time
+            d = tc.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
         return (TrainState(params, opt_state, state.step + 1), metrics,
-                new_states)
+                new_states, ema)
 
     return step_fn
 
@@ -142,12 +146,16 @@ class Trainer:
                                self.sched_a, self.sched_b)
         # GSPMD: state replicated, batch sharded on the data axis; shardings
         # propagate from the placed arguments through jit.
-        self._step = jax.jit(step, donate_argnums=(0,))
+        self._step = jax.jit(step, donate_argnums=(0, 4))
         self.state = jax.device_put(self.state, pmesh.replicated(self.mesh))
         self._host_step = 0
         # stateful truncated BPTT: GRU states carry across successive chunks
         # (the reference trains with stateful=True, training_tf2/lpcnet.py:286)
         self._gru_states = None
+        # EMA of params (device tree); 0.0 scalar when disabled so the jit
+        # signature stays fixed
+        self._ema = (jax.tree.map(jnp.copy, self.state.params)
+                     if self.tc.ema_decay > 0.0 else jnp.zeros(()))
 
     def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         batch = pmesh.shard_batch(self.mesh, {
@@ -156,8 +164,8 @@ class Trainer:
             b = batch["sig_in"].shape[0]
             self._gru_states = (jnp.zeros((b, self.cfg.rnn_units1)),
                                 jnp.zeros((b, self.cfg.rnn_units2)))
-        self.state, metrics, self._gru_states = self._step(
-            self.state, batch, rng, self._gru_states)
+        self.state, metrics, self._gru_states, self._ema = self._step(
+            self.state, batch, rng, self._gru_states, self._ema)
         self._host_step += 1
         # host-side schedule gating (interval arithmetic on python ints),
         # transform itself runs jitted on device
@@ -171,23 +179,52 @@ class Trainer:
         # mode); callers fetch at log intervals (float()/device_get)
         return dict(metrics)
 
+    @property
+    def ema_params(self):
+        """EMA of params (None when ema_decay == 0)."""
+        return self._ema if self.tc.ema_decay > 0.0 else None
+
+    def reset_ema(self):
+        """Re-seed the EMA from the current params (call after replacing
+        state from a checkpoint that didn't carry an EMA)."""
+        if self.tc.ema_decay > 0.0:
+            self._ema = jax.tree.map(jnp.copy, self.state.params)
+
     def full_state(self):
-        """Everything needed for exact resume: TrainState + TBPTT carry."""
-        return {"train_state": self.state, "gru_states": self._gru_states}
+        """Everything needed for exact resume: TrainState + TBPTT carry
+        (+ the params EMA when enabled)."""
+        full = {"train_state": self.state, "gru_states": self._gru_states}
+        if self.tc.ema_decay > 0.0:
+            full["ema"] = self._ema
+        return full
 
     def restore_full_state(self, full):
         self.state = full["train_state"]
         self._gru_states = full["gru_states"]
+        if "ema" in full:
+            self._ema = full["ema"]
         self._host_step = int(self.state.step)
 
     def fit(self, loader, epochs: Optional[int] = None, log_every: int = 50,
-            checkpoint_path: Optional[str] = None, logdir: Optional[str] = None):
+            checkpoint_path: Optional[str] = None, logdir: Optional[str] = None,
+            validator=None, val_every: int = 0,
+            best_checkpoint_path: Optional[str] = None):
+        """Training loop. With `validator` (train.validation.HeldOutValidator)
+        and `val_every`, runs a held-out analysis/synthesis eval every N
+        steps on raw params (and the EMA when enabled) and, when
+        `best_checkpoint_path` is given, keeps the best-band-LSD checkpoint
+        there -- the round-3 100k-step run regressed on held-out audio with
+        no in-loop signal to catch it (BENCHMARKS.md round-3 close-out)."""
         metrics_log = None
         if logdir is not None:
             from ..utils.profiling import MetricsLogger
             import os as _os
             metrics_log = MetricsLogger(_os.path.join(logdir, "lpcnet_metrics.jsonl"))
         from ..weights.checkpoint import save_checkpoint
+        best = None
+        if validator is not None and val_every:
+            from .validation import BestTracker
+            best = BestTracker()
         rng = jax.random.PRNGKey(123)
         epochs = epochs or self.tc.epochs
         for epoch in range(epochs):
@@ -203,6 +240,28 @@ class Trainer:
                     msg = " ".join(f"{k}={float(v):.4f}"
                                    for k, v in metrics.items())
                     print(f"epoch {epoch} step {i}: {msg}", flush=True)
+                if best is not None and self._host_step % val_every == 0:
+                    cand = [("raw", self.state.params)]
+                    if self.ema_params is not None:
+                        cand.append(("ema", self.ema_params))
+                    results = {n: validator.evaluate(p) for n, p in cand}
+                    win = min(results,
+                              key=lambda k: results[k]["band_lsd_db"])
+                    if (best.update(self._host_step, results[win])
+                            and best_checkpoint_path):
+                        save_checkpoint(best_checkpoint_path,
+                                        jax.device_get(dict(cand)[win]),
+                                        self.cfg)
+                    if metrics_log is not None:
+                        for n, r in results.items():
+                            metrics_log.log_async(step=self._host_step,
+                                                  kind=f"val_{n}", **r)
+                        metrics_log.flush_async()
+                    print(f"step {self._host_step}: val "
+                          + " ".join(f"{n}={r['band_lsd_db']:.3f}dB"
+                                     for n, r in results.items())
+                          + f" (best {best.best:.3f} @ {best.best_step})",
+                          flush=True)
             if metrics_log is not None:
                 metrics_log.flush_async()
             if checkpoint_path:

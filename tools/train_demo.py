@@ -27,7 +27,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=240)
     ap.add_argument("--steps", type=int, default=3000)
-    ap.add_argument("--batch-size", type=int, default=32)
+    # 128 = the reference config (training_tf2/train_lpcnet.py:51); the
+    # device loader sustains 14 steps/s at b128 so there is no reason to
+    # train smaller (round-3's b32 run was 3x slower AND noisier)
+    ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--outdir", default="artifacts/train_demo")
     ap.add_argument("--data-dir", default=None,
                     help="reuse features.f32/data.s16 from another run dir")
@@ -41,9 +44,22 @@ def main():
     ap.add_argument("--schedule-scale", type=float, default=1.0,
                     help="compress the sparsify/quantize schedules")
     ap.add_argument("--corpus-seeds", default="0",
-                    help="comma list: one synth_corpus shard per seed")
+                    help="comma list of synth_corpus shard seeds, or 'N' "
+                         "(bare int) for seeds 0..N-1")
     ap.add_argument("--aug-passes", type=int, default=1,
                     help="dump_data augmentation passes over the corpus")
+    ap.add_argument("--streams", type=int, default=32,
+                    help="dump_data_streams parallelism for corpus prep "
+                         "(1 = sequential reference pipeline)")
+    ap.add_argument("--val-every", type=int, default=1000,
+                    help="run held-out validation every N steps (0 = off)")
+    ap.add_argument("--val-seeds", default="1234,4321,9999,7777",
+                    help="held-out synth_corpus seeds for validation clips "
+                         "(must not overlap --corpus-seeds)")
+    ap.add_argument("--val-seconds", type=float, default=8.0)
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="params EMA decay for eval/ship (0 = off; forced "
+                         "off with --quantize: EMA leaves the int8 grid)")
     ap.add_argument("--orbax-every", type=int, default=0,
                     help="save full train state (params+opt+step) every N "
                          "steps to <outdir>/orbax/step_<k>")
@@ -65,15 +81,27 @@ def main():
     dpath = os.path.join(datadir, "data.s16")
 
     if not os.path.exists(dpath):
-        seeds = [int(s) for s in args.corpus_seeds.split(",")]
+        if "," in args.corpus_seeds:
+            seeds = [int(s) for s in args.corpus_seeds.split(",")]
+        else:
+            n = int(args.corpus_seeds)
+            seeds = list(range(n)) if n > 1 else [n]
         print(f"generating corpus ({len(seeds)} shard(s))...", flush=True)
+        t0 = time.time()
         speech = np.concatenate(
             [synth_corpus(args.seconds / len(seeds), seed=s) for s in seeds])
         speech.tofile(os.path.join(datadir, "corpus.s16"))
-        from lpcnet_tpu.train.dump_data import dump_data
+        print(f"corpus: {time.time() - t0:.1f}s for {args.seconds:.0f}s",
+              flush=True)
         t0 = time.time()
-        dump_data(speech, fpath, dpath, chunk_frames=800,
-                  min_samples=args.aug_passes * len(speech))
+        if args.streams > 1:
+            from lpcnet_tpu.train.dump_data import dump_data_streams
+            dump_data_streams(speech, fpath, dpath, streams=args.streams,
+                              min_samples=args.aug_passes * len(speech))
+        else:
+            from lpcnet_tpu.train.dump_data import dump_data
+            dump_data(speech, fpath, dpath, chunk_frames=800,
+                      min_samples=args.aug_passes * len(speech))
         print(f"dump_data: {time.time() - t0:.1f}s", flush=True)
 
     import jax
@@ -85,8 +113,10 @@ def main():
     from lpcnet_tpu.weights.lpcnet_arrays import save_lpcnet_blob
 
     cfg = LPCNetConfig(rnn_units1=args.grua_size)
+    ema_decay = 0.0 if args.quantize else args.ema
     tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize,
                      schedule_scale=args.schedule_scale,
+                     ema_decay=ema_decay,
                      **({"density": tuple(args.density_split)}
                         if args.density_split else {}))
     loader_cls = LPCNetLoader if args.host_loader else DeviceLPCNetLoader
@@ -98,6 +128,7 @@ def main():
         trainer.state = TrainState(jax.device_put(params),
                                    trainer.optimizer.init(params),
                                    trainer.state.step)
+        trainer.reset_ema()
         print(f"initialized from {args.init_from}", flush=True)
 
     from lpcnet_tpu.train.checkpointing import (latest_checkpoint,
@@ -110,6 +141,7 @@ def main():
         if ck:
             trainer.state = jax.device_put(
                 restore_train_state(ck, trainer.state))
+            trainer.reset_ema()
             start_step = int(trainer.state.step)
             print(f"resumed full state from {ck} (step {start_step})",
                   flush=True)
@@ -119,6 +151,40 @@ def main():
         with open(os.path.join(args.outdir, f"model{tag}.bin"), "wb") as f:
             f.write(save_lpcnet_blob(params, cfg, quantize=args.quantize))
 
+    validator, best = None, None
+    if args.val_every:
+        from lpcnet_tpu.train.validation import BestTracker, HeldOutValidator
+        val_seeds = [int(s) for s in args.val_seeds.split(",")]
+        clips = [synth_corpus(args.val_seconds, seed=s) for s in val_seeds]
+        validator = HeldOutValidator(cfg, clips)
+        best = BestTracker()
+        print(f"validator: {len(clips)} held-out clips "
+              f"(seeds {val_seeds})", flush=True)
+
+    def run_validation(step):
+        cand = [("raw", trainer.state.params)]
+        if ema_decay > 0.0:
+            cand.append(("ema", trainer.ema_params))
+        results = {}
+        for name, p in cand:
+            results[name] = validator.evaluate(p)
+        # best-checkpoint selection on the better of raw/EMA
+        win = min(results, key=lambda k: results[k]["band_lsd_db"])
+        m = results[win]
+        improved = best.update(step, m)
+        if improved:
+            save(jax.device_get(dict(cand)[win]), "_best")
+            with open(os.path.join(args.outdir, "best.txt"), "w") as f:
+                f.write(f"step {step} ({win}): {m}\n")
+        line = " ".join(f"{n}:{r['band_lsd_db']:.3f}"
+                        for n, r in results.items())
+        print(f"step {step}: VAL band-LSD {line} dB "
+              f"(best {best.best:.3f} @ {best.best_step}"
+              f"{' *' if improved else ''})", flush=True)
+        for name, r in results.items():
+            mlog.log_async(step=step, kind=f"val_{name}", **r)
+        mlog.flush_async()
+
     from lpcnet_tpu.utils.profiling import MetricsLogger
     mlog = MetricsLogger(os.path.join(args.outdir, "metrics.jsonl"))
     rng = jax.random.PRNGKey(1)
@@ -126,6 +192,7 @@ def main():
     for _ in range(step):        # keep the data/rng streams deterministic
         rng, _ = jax.random.split(rng)
     t0 = time.time()
+    t_val = 0.0
     while step < args.steps:
         for batch in loader:
             rng, sub = jax.random.split(rng)
@@ -134,9 +201,16 @@ def main():
             mlog.log_async(step=step, **m)
             if step % 50 == 0:
                 mlog.flush_async()
+                # report the TRAIN rate (validation pauses excluded) so the
+                # number is comparable to the bench.py train mode
+                dt = time.time() - t0 - t_val
                 print(f"step {step}: loss={float(m['loss']):.4f} "
-                      f"({(step - start_step) / (time.time() - t0):.2f} steps/s)",
+                      f"({(step - start_step) / dt:.2f} steps/s)",
                       flush=True)
+            if validator is not None and step % args.val_every == 0:
+                tv = time.time()
+                run_validation(step)
+                t_val += time.time() - tv
             if args.save_every and step % args.save_every == 0:
                 save(jax.device_get(trainer.state.params), f"_{step}")
             if args.orbax_every and step % args.orbax_every == 0:
@@ -148,6 +222,9 @@ def main():
 
     mlog.flush_async()
     save(jax.device_get(trainer.state.params))
+    if validator is not None and best.best is not None:
+        print(f"best checkpoint: step {best.best_step} "
+              f"({best.best:.3f} dB band-LSD) -> model_best.npz", flush=True)
     print("saved artifacts to", args.outdir, flush=True)
 
 
