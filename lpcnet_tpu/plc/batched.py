@@ -548,6 +548,29 @@ def _chain_feats(ch, k):
 _COMPACT_ENV = __import__("os").environ.get("LPCNET_PLC_COMPACT", "auto")
 
 
+def set_plc_flags(fasttf=None, fastfnet=None, fastchain=None, compact=None):
+    """Override the env-derived fast-path flags at runtime.
+
+    The flags are read at TRACE time (step builders consult the module
+    globals), so setting them and constructing a fresh BatchedPLC gives
+    per-instance behavior -- this is what makes same-session A/B matrices
+    possible (tools/bench_plc_matrix.py): round-3 decisions were made on
+    ~5% deltas across separate bench processes with ~10% run-to-run spread
+    (BENCHMARKS.md round-3 close-out). Returns the previous values.
+    """
+    global _FASTTF, _FASTFNET, _FASTCHAIN, _COMPACT_ENV
+    prev = (_FASTTF, _FASTFNET, _FASTCHAIN, _COMPACT_ENV)
+    if fasttf is not None:
+        _FASTTF = bool(fasttf)
+    if fastfnet is not None:
+        _FASTFNET = bool(fastfnet)
+    if fastchain is not None:
+        _FASTCHAIN = bool(fastchain)
+    if compact is not None:
+        _COMPACT_ENV = str(compact)
+    return prev
+
+
 def _compact_capacity(b: int) -> int:
     if _COMPACT_ENV in ("0", "off"):
         return 0
