@@ -73,19 +73,22 @@ class PLCLoader:
     """
 
     def __init__(self, feature_path: str, lost_path: str, tc: PLCTrainConfig,
-                 seed: int = 0):
+                 seed: int = 0, val_seqs: int = 0):
         nb_features = NB_BURG + NB_USED + 16
         feats = np.fromfile(feature_path, dtype=np.float32)
         nseq = len(feats) // (nb_features * tc.seq_length)
-        nseq = nseq // tc.batch_size * tc.batch_size
+        nseq_train = (nseq - val_seqs) // tc.batch_size * tc.batch_size
         feats = feats[: nseq * tc.seq_length * nb_features]
-        self.features = feats.reshape(nseq, tc.seq_length, nb_features)[
+        all_feats = feats.reshape(nseq, tc.seq_length, nb_features)[
             :, :, : NB_BURG + NB_USED]
+        # the LAST val_seqs sequences are held out of training entirely
+        self.features = all_feats[:nseq_train]
+        self._val_features = (all_feats[nseq - val_seqs:] if val_seqs else None)
         self.lost = np.fromfile(lost_path, dtype=np.int8).astype(np.float32)
         self.lost = self.lost[: (len(self.lost) // tc.seq_length - 1) * tc.seq_length]
         self.tc = tc
         self._rng = np.random.RandomState(seed)
-        self.nb_batches = nseq // tc.batch_size
+        self.nb_batches = nseq_train // tc.batch_size
         self.on_epoch_end()
 
     def on_epoch_end(self):
@@ -95,6 +98,29 @@ class PLCLoader:
         self.lost_offset = self.lost[offset: len(self.lost) - t + offset].reshape(-1, t)
         self.lost_indices = self._rng.randint(0, self.lost_offset.shape[0],
                                               self.features.shape[0])
+
+    def val_batch(self) -> Optional[Dict[str, np.ndarray]]:
+        """The held-out batch with FIXED loss traces and burg dropout
+        (deterministic: the same masks every call, so the val loss curve is
+        step-comparable)."""
+        if self._val_features is None:
+            return None
+        rng = np.random.RandomState(12345)
+        feats = self._val_features
+        b, t, _ = feats.shape
+        burg_ok = (rng.rand(b, t, 1) > 0.1).astype(np.float32)
+        lo = self.lost[: (len(self.lost) // t) * t].reshape(-1, t)
+        lost = lo[rng.randint(0, lo.shape[0], b)][:, :, None]
+        in_feats = feats * lost
+        in_feats = in_feats.copy()
+        in_feats[:, :, :NB_BURG] *= burg_ok
+        flag = lost * (2 * burg_ok - 1)
+        return {
+            "plc_input": np.concatenate([in_feats, flag], axis=-1
+                                        ).astype(np.float32),
+            "target": feats[:, :, NB_BURG:].astype(np.float32),
+            "mask": (1.0 - lost).astype(np.float32),
+        }
 
     def __len__(self):
         return self.nb_batches
@@ -166,7 +192,26 @@ class PLCTrainer:
             return PLCTrainState(params, opt_state, state.step + 1), metrics
 
         self._step = jax.jit(step_fn, donate_argnums=(0,))
+
+        def eval_fn(params, batch):
+            st0 = PM.init_state(batch["plc_input"].shape[0], self.cfg)
+            _, pred = PM.predict_sequence(params, st0, batch["plc_input"])
+            l = plc_loss(batch["target"], batch["mask"], pred,
+                         tc.band_loss, tc.loss_bias)
+            m = plc_metrics(batch["target"], batch["mask"], pred)
+            m["loss"] = l
+            return m
+
+        self._eval = jax.jit(eval_fn)
         self.state = jax.device_put(self.state, pmesh.replicated(self.mesh))
+
+    def eval_step(self, batch) -> Dict[str, float]:
+        """Masked val loss/metrics on a held-out batch (no update); batches
+        with FIXED loss traces + burg dropout give a step-comparable curve."""
+        batch = pmesh.shard_batch(self.mesh, {k: jnp.asarray(v)
+                                              for k, v in batch.items()})
+        return {k: float(v) for k, v in
+                self._eval(self.state.params, batch).items()}
 
     def train_step(self, batch, rng=None) -> Dict[str, float]:
         batch = pmesh.shard_batch(self.mesh, {k: jnp.asarray(v)
