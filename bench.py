@@ -68,14 +68,19 @@ def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
         fstate, sstate, pcm = run(fstate, sstate)
     np.asarray(pcm[0, :4])
 
-    t0 = time.perf_counter()
-    for _ in range(n_frames):
-        fstate, sstate, pcm = run(fstate, sstate)
-    np.asarray(pcm[0, :4])     # hard sync: waits for the whole chain
-    dt = time.perf_counter() - t0
-
-    samples = batch * n_frames * 160
-    return samples / dt
+    # median of N timed repeats (round-3 lesson: single-shot numbers carry
+    # ~10% run-to-run spread; the headline should be the median)
+    repeats = int(os.environ.get("LPCNET_BENCH_REPEATS", "3"))
+    rates = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        for _ in range(n_frames):
+            fstate, sstate, pcm = run(fstate, sstate)
+        np.asarray(pcm[0, :4])     # hard sync: waits for the whole chain
+        dt = time.perf_counter() - t0
+        rates.append(batch * n_frames * 160 / dt)
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def bench_encode(batch: int, n_super: int, warmup: int = 3):
@@ -232,13 +237,13 @@ def bench_train(batch: int, n_steps: int, warmup: int = 3):
     # --- pipelined (raw jitted step; sync once at the end) ---
     dbatch = pmesh.shard_batch(trainer.mesh,
                                {k: jnp.asarray(v) for k, v in batch_np.items()})
-    state, gru = trainer.state, trainer._gru_states
+    state, gru, ema = trainer.state, trainer._gru_states, trainer._ema
     for _ in range(warmup):
-        state, metrics, gru = trainer._step(state, dbatch, key, gru)
+        state, metrics, gru, ema = trainer._step(state, dbatch, key, gru, ema)
     float(metrics["loss"])
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, metrics, gru = trainer._step(state, dbatch, key, gru)
+        state, metrics, gru, ema = trainer._step(state, dbatch, key, gru, ema)
     float(metrics["loss"])   # hard sync on the chained result
     pipelined = n_steps / (time.perf_counter() - t0)
     return pipelined, synced

@@ -101,14 +101,13 @@ def main():
 
     # --- full train step
     trainer = T.Trainer(cfg, tc)
-    def full_step(state, batch, key, gs):
-        return trainer._step(state, batch, key, gs)
     st = trainer.state
-    st, m, gs = trainer._step(st, batch, key, gru_states)   # compile
+    ema = trainer._ema
+    st, m, gs, ema = trainer._step(st, batch, key, gru_states, ema)  # compile
     # donated args: rebuild each call through the trainer path
     def run_full():
-        nonlocal st, gs
-        st, m, gs = trainer._step(st, batch, key, gs)
+        nonlocal st, gs, ema
+        st, m, gs, ema = trainer._step(st, batch, key, gs, ema)
         return m["loss"]
     for _ in range(2):
         run_full()
