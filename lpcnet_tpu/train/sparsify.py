@@ -138,3 +138,91 @@ def apply_schedules(params, step: int, sched_a: SparsifySchedule,
     params["gru_a"] = dict(params["gru_a"], recurrent=ra)
     params["gru_b"] = dict(params["gru_b"], kernel=kb)
     return params
+
+
+# ---- traced (in-graph) variants -------------------------------------------
+# The host-gated path above costs one extra dispatch per application, which
+# is every step during quantize finetune (active() is always True there) and
+# every step after t_end -- one tunnel round trip each.  These variants take
+# a TRACED step scalar so the whole schedule (gating included) runs inside
+# the jitted train step via lax.cond (train_lpcnet.make_train_step).
+
+def _density_traced(schedule: SparsifySchedule, step, k: int):
+    import jax.numpy as jnp
+    d = schedule.density[k]
+    if schedule.quantize or d >= 1.0:
+        return jnp.float32(d)
+    r = jnp.clip(1.0 - (step - schedule.t_start)
+                 / float(schedule.t_end - schedule.t_start), 0.0, 1.0)
+    ramp = 1.0 - (1.0 - d) * (1.0 - r ** 3)
+    return jnp.where(step >= schedule.t_end, jnp.float32(d),
+                     ramp.astype(jnp.float32))
+
+
+def _block_mask_traced(a_t, density):
+    import jax.numpy as jnp
+    rows, cols = a_t.shape
+    blocks = a_t.reshape(rows // 4, 4, cols // 8, 8)
+    energy = jnp.sum(blocks * blocks, axis=(1, 3))
+    flat = jnp.sort(energy.reshape(-1))
+    k = jnp.round(rows * cols // 32 * (1.0 - density)).astype(jnp.int32)
+    k = jnp.clip(k, 0, flat.shape[0] - 1)
+    thresh = jnp.take(flat, k)
+    mask = (energy >= thresh).astype(a_t.dtype)
+    return jnp.repeat(jnp.repeat(mask, 4, axis=0), 8, axis=1)
+
+
+def _quantize_traced(w, schedule: SparsifySchedule, step):
+    import jax.numpy as jnp
+    threshold = jnp.clip(0.5 * (step - schedule.t_start)
+                         / float(schedule.t_end - schedule.t_start), 0.0, 0.5)
+    threshold = jnp.where(step >= schedule.t_end, jnp.float32(0.5), threshold)
+    quant = jnp.round(w * 128.0)
+    res = w * 128.0 - quant
+    snap = (jnp.abs(res) <= threshold).astype(w.dtype)
+    return snap * quant / 128.0 + (1.0 - snap) * w
+
+
+def schedule_active_traced(schedule: SparsifySchedule, step):
+    import jax.numpy as jnp
+    if schedule.quantize:
+        return jnp.bool_(True)
+    return ((step > schedule.t_start)
+            & ((step - schedule.t_start) % schedule.interval == 0)
+            ) | (step >= schedule.t_end)
+
+
+def apply_schedules_traced(params, step, sched_a: SparsifySchedule,
+                           sched_b: SparsifySchedule, grua_units: int):
+    """apply_schedules with a traced step scalar (same math, jnp gating)."""
+    import jax.numpy as jnp
+
+    rec = params["gru_a"]["recurrent"]
+    n = rec.shape[0]
+    eye = jnp.eye(n, dtype=rec.dtype)
+    outs = []
+    for k in range(3):
+        a = rec[:, k * n:(k + 1) * n]
+        a_nd = a - jnp.diag(jnp.diag(a))
+        mask_t = _block_mask_traced(a_nd.T, _density_traced(sched_a, step, k))
+        outs.append(a * jnp.minimum(1.0, mask_t.T + eye))
+    ra = jnp.concatenate(outs, axis=1)
+    if sched_a.quantize:
+        ra = _quantize_traced(ra, sched_a, step)
+
+    kernel = params["gru_b"]["kernel"]
+    m = kernel.shape[1] // 3
+    outs = []
+    for k in range(3):
+        a = kernel[:, k * m:(k + 1) * m]
+        a2 = a[:grua_units]
+        mask = _block_mask_traced(a2, _density_traced(sched_b, step, k))
+        outs.append(jnp.concatenate([a2 * mask, a[grua_units:]], axis=0))
+    kb = jnp.concatenate(outs, axis=1)
+    if sched_b.quantize:
+        kb = _quantize_traced(kb, sched_b, step)
+
+    params = dict(params)
+    params["gru_a"] = dict(params["gru_a"], recurrent=ra)
+    params["gru_b"] = dict(params["gru_b"], kernel=kb)
+    return params

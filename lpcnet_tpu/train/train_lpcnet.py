@@ -24,7 +24,8 @@ import optax
 from ..models import lpcnet as M
 from ..parallel import mesh as pmesh
 from . import losses as LL
-from .sparsify import SparsifySchedule, apply_schedules, weight_clip_constraint
+from .sparsify import (SparsifySchedule, apply_schedules_traced,
+                       schedule_active_traced, weight_clip_constraint)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,8 +103,11 @@ def apply_constraints(params):
 
 def make_train_step(cfg: M.LPCNetConfig, tc: TrainConfig, optimizer,
                     sched_a: SparsifySchedule, sched_b: SparsifySchedule):
-    """Build the jitted DP train step. Sparsification runs inside jit on a
-    lax.cond gated by the schedule's interval arithmetic."""
+    """Build the jitted DP train step. Sparsification (and the quantize
+    snap) runs INSIDE the step on a lax.cond gated by the schedule's
+    interval arithmetic over the traced step counter -- the previous
+    host-gated extra dispatch cost one tunnel round trip per application,
+    which is EVERY step during quantize finetune and after t_end."""
 
     def step_fn(state: TrainState, batch, rng, gru_states, ema):
         (loss, (metrics, new_states)), grads = jax.value_and_grad(
@@ -112,11 +116,19 @@ def make_train_step(cfg: M.LPCNetConfig, tc: TrainConfig, optimizer,
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = apply_constraints(params)
+        new_step = state.step + 1
+        do = (schedule_active_traced(sched_a, new_step)
+              | schedule_active_traced(sched_b, new_step))
+        params = jax.lax.cond(
+            do,
+            lambda p: apply_schedules_traced(p, new_step, sched_a, sched_b,
+                                             cfg.rnn_units1),
+            lambda p: p, params)
         new_states = jax.tree.map(jax.lax.stop_gradient, new_states)
         if tc.ema_decay > 0.0:       # static at trace time
             d = tc.ema_decay
             ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p, ema, params)
-        return (TrainState(params, opt_state, state.step + 1), metrics,
+        return (TrainState(params, opt_state, new_step), metrics,
                 new_states, ema)
 
     return step_fn
@@ -167,13 +179,8 @@ class Trainer:
         self.state, metrics, self._gru_states, self._ema = self._step(
             self.state, batch, rng, self._gru_states, self._ema)
         self._host_step += 1
-        # host-side schedule gating (interval arithmetic on python ints),
-        # transform itself runs jitted on device
-        if self.sched_a.active(self._host_step) or self.sched_b.active(self._host_step):
-            params = apply_schedules(self.state.params, self._host_step,
-                                     self.sched_a, self.sched_b,
-                                     self.cfg.rnn_units1)
-            self.state = TrainState(params, self.state.opt_state, self.state.step)
+        # schedule gating + the sparsify/quantize transform run INSIDE the
+        # jitted step (make_train_step); no extra dispatch here.
         # metrics stay DEVICE scalars: a per-step host fetch serializes the
         # dispatch pipeline (2.4x step-rate loss measured in bench.py train
         # mode); callers fetch at log intervals (float()/device_get)

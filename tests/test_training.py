@@ -243,3 +243,58 @@ def test_device_loader_matches_host_loader(tmp_path, e2e, lookahead):
     host.on_epoch_end()
     dev.on_epoch_end()
     np.testing.assert_array_equal(host.indices, dev.indices)
+
+
+def test_apply_schedules_traced_matches_host():
+    """The in-graph schedule transform (traced step) must match the host
+    apply_schedules at mid-ramp, post-t_end, and quantize-mode steps."""
+    from lpcnet_tpu.train.sparsify import (apply_schedules,
+                                           apply_schedules_traced)
+    rng = np.random.RandomState(7)
+    n, cond = 32, 12
+    params = {
+        "gru_a": {"recurrent": jnp.asarray(
+            rng.randn(n, 3 * n).astype(np.float32) * 0.3)},
+        "gru_b": {"kernel": jnp.asarray(
+            rng.randn(n + cond, 3 * 16).astype(np.float32) * 0.3)},
+    }
+    cases = [
+        (SparsifySchedule(20, 100, 10, (0.1, 0.1, 0.2)),
+         SparsifySchedule(20, 200, 10, (0.5, 0.5, 0.5)), [25, 60, 150, 250]),
+        (SparsifySchedule.quantize_finetune((0.1, 0.1, 0.2), scale=0.01),
+         SparsifySchedule.quantize_finetune((1.0, 1.0, 1.0), scale=0.01),
+         [5, 150, 400]),
+    ]
+    for sched_a, sched_b, steps in cases:
+        for step in steps:
+            host = apply_schedules(params, step, sched_a, sched_b, n)
+            traced = jax.jit(
+                lambda p, s: apply_schedules_traced(p, s, sched_a, sched_b, n)
+            )(params, jnp.int32(step))
+            np.testing.assert_allclose(
+                np.asarray(traced["gru_a"]["recurrent"]),
+                np.asarray(host["gru_a"]["recurrent"]), atol=1e-6,
+                err_msg=f"gru_a step {step} q={sched_a.quantize}")
+            np.testing.assert_allclose(
+                np.asarray(traced["gru_b"]["kernel"]),
+                np.asarray(host["gru_b"]["kernel"]), atol=1e-6,
+                err_msg=f"gru_b step {step} q={sched_a.quantize}")
+
+
+def test_in_graph_schedule_sparsifies():
+    """Training past t_end produces the block-sparse structure without any
+    host-side apply call (the transform lives inside the jitted step)."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=2, chunk_frames=3, schedule_scale=0.001,
+                     density=(0.2, 0.2, 0.3))
+    mesh = pmesh.make_mesh(jax.devices("cpu")[:1])
+    tr = Trainer(cfg, tc, mesh=mesh)
+    batch = fake_batch(np.random.RandomState(1), b=2, frames=3)
+    key = jax.random.PRNGKey(0)
+    for _ in range(45):   # t_end = 40 at scale 0.001 for gru_b
+        key, sub = jax.random.split(key)
+        tr.train_step(batch, sub)
+    rec = np.asarray(jax.device_get(tr.state.params["gru_a"]["recurrent"]))
+    n = rec.shape[0]
+    off = rec[:, :n] - np.diag(np.diag(rec[:, :n]))
+    assert np.mean(off != 0) < 0.6, "z-gate off-diagonal should be pruned"
