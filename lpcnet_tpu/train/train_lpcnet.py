@@ -117,13 +117,20 @@ def make_train_step(cfg: M.LPCNetConfig, tc: TrainConfig, optimizer,
         params = optax.apply_updates(state.params, updates)
         params = apply_constraints(params)
         new_step = state.step + 1
-        do = (schedule_active_traced(sched_a, new_step)
-              | schedule_active_traced(sched_b, new_step))
-        params = jax.lax.cond(
-            do,
-            lambda p: apply_schedules_traced(p, new_step, sched_a, sched_b,
-                                             cfg.rnn_units1),
-            lambda p: p, params)
+        # static bypass: an all-dense non-quantize run (the TPU headline
+        # config -- the inference kernels run dense; sparsity is a CPU-SIMD
+        # interop concern) has nothing to schedule
+        dense = (not sched_a.quantize and not sched_b.quantize
+                 and all(d >= 1.0 for d in sched_a.density)
+                 and all(d >= 1.0 for d in sched_b.density))
+        if not dense:
+            do = (schedule_active_traced(sched_a, new_step)
+                  | schedule_active_traced(sched_b, new_step))
+            params = jax.lax.cond(
+                do,
+                lambda p: apply_schedules_traced(p, new_step, sched_a,
+                                                 sched_b, cfg.rnn_units1),
+                lambda p: p, params)
         new_states = jax.tree.map(jax.lax.stop_gradient, new_states)
         if tc.ema_decay > 0.0:       # static at trace time
             d = tc.ema_decay
