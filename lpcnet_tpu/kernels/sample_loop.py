@@ -63,6 +63,12 @@ _INTERPRET = bool(__import__("os").environ.get("LPCNET_PALLAS_INTERPRET"))
 _ABLATE = set(filter(None, __import__("os").environ
                      .get("LPCNET_KERNEL_ABLATE", "").split(",")))
 
+# Embedding-contraction variant: "v1" = composed [768, 3Na] one-hot matmul
+# (bit-gated vs nn.quantized); "factored" = gather the shared 128-dim
+# embedding first, input kernel second (fewer issued MXU ops, one extra
+# dependent matmul, double quantization ~2x the emb rounding error).
+_EMB = __import__("os").environ.get("LPCNET_EMB", "v1")
+
 
 def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16,
                    quantized: bool = None):
@@ -143,6 +149,24 @@ def kernel_weights(fused, cfg: LPCNetConfig, dtype=jnp.bfloat16,
             a_rec_q8=a_off_q8, a_diag=jnp.asarray(a_diag, jnp.float32)[None, :],
             b_in_q8=b_in_q8, b_rec_q8=b_rec_q8)
         del kw["b_rec"]
+        if _EMB == "factored" and "embed_table" in fused:
+            # Factored embedding operands (LPCNET_EMB=factored): gather the
+            # shared 128-dim u-law embedding first (three [BT,256]x[256,128]
+            # one-hot matmuls), then apply the GRU-A input kernel as ONE
+            # [BT,384]x[384,3Na] matmul -- ~26% fewer issued MXU tile-ops
+            # than the composed [BT,768]x[768,3Na] contraction, whose K is
+            # 99.6% zeros.  Scales: e int8 per-column (s_e); s_e folds into
+            # the kernel's rows before its own per-column quantization, so
+            # the gathered int8 rows feed the second matmul directly.
+            e = fused["embed_table"].astype(jnp.float32)          # [256,128]
+            kain = fused["gru_a_in_kernel"].astype(jnp.float32)   # [384,3Na]
+            s_e = jnp.maximum(jnp.max(jnp.abs(e), axis=0), 1e-10) / 127.0
+            e_q8 = jnp.clip(jnp.round(e / s_e), -127, 127).astype(jnp.int8)
+            ka_s = kain * jnp.tile(s_e, 3)[:, None]
+            t = jnp.maximum(jnp.max(jnp.abs(ka_s), axis=0), 1e-10) / 127.0
+            ka_q8 = jnp.clip(jnp.round(ka_s / t), -127, 127).astype(jnp.int8)
+            kw.update(embf_q8=e_q8, embf_w_q8=ka_q8,
+                      embf_scale=t[None, :].astype(jnp.float32))
     else:
         kw.update(
             emb_cat=emb_cat.astype(dtype),
@@ -238,6 +262,13 @@ _WNAMES_F32 = ("emb_cat", "a_rec", "a_bias1", "b_in", "b_rec", "b_bias1",
 _WNAMES_Q8 = ("emb_q8", "emb_scale", "a_rec_q8", "a_diag", "a_bias1",
               "b_in_q8", "b_rec_q8", "b_bias1",
               "dual_w", "dual_bias", "dual_factor", "logit_table")
+_WNAMES_Q8_FACT = ("embf_q8", "embf_w_q8", "embf_scale", "a_rec_q8",
+                   "a_diag", "a_bias1", "b_in_q8", "b_rec_q8", "b_bias1",
+                   "dual_w", "dual_bias", "dual_factor", "logit_table")
+
+
+def _q8_names(kw):
+    return _WNAMES_Q8_FACT if "embf_q8" in kw else _WNAMES_Q8
 
 def _gru_ab(q8, na, nb, W, conda, condb, sig_u, pred_u, exc_u, h_a0, h_b0):
     """One GRU-A + GRU-B step on a batch tile; the numeric core shared by
@@ -257,6 +288,19 @@ def _gru_ab(q8, na, nb, W, conda, condb, sig_u, pred_u, exc_u, h_a0, h_b0):
     if q8:
         if "emb" in _ABLATE:
             gate_a = conda
+        elif "embf_q8" in W:
+            # factored: gather the shared embedding's int8 rows via three
+            # [BT,256] one-hot matmuls (dot output values ARE e_q8 rows, so
+            # the int32->int8 narrowing is exact), then one [BT,384] matmul
+            # with the scale-folded input kernel
+            l256 = jax.lax.broadcasted_iota(jnp.int32, (b, 256), 1)
+            g = jnp.concatenate(
+                [jnp.dot((l256 == u).astype(jnp.int8), W["embf_q8"][:],
+                         preferred_element_type=jnp.int32).astype(jnp.int8)
+                 for u in (sig_u, pred_u, exc_u)], axis=1)      # [BT, 384]
+            gate_a = conda + (jnp.dot(g, W["embf_w_q8"][:],
+                                      preferred_element_type=jnp.int32)
+                              .astype(jnp.float32) * W["embf_scale"][:])
         else:
             oh = ((l768 == sig_u) | (l768 == pred_u + 256)
                   | (l768 == exc_u + 512)).astype(jnp.int8)
@@ -414,12 +458,11 @@ def _bit_tree(W, h_b, bytes_, exc_u):
     return val
 
 
-def _ar_kernel(n_samples, na, nb, q8, masked, sampled, *refs):
+def _ar_kernel(n_samples, na, nb, q8, masked, sampled, names, *refs):
     """Unified fused AR kernel body: f32/bf16 or int8 MXU operands (q8),
     free-running or per-stream/per-sample masked + teacher-forced (masked),
     with or without the dual-FC sampler (sampled=False is masked-only --
     callers assert every advanced step is teacher-forced)."""
-    names = _WNAMES_Q8 if q8 else _WNAMES_F32
     nw = len(names)
     W = dict(zip(names, refs[:nw]))
     conda_ref, condb_ref, lpc_ref = refs[nw:nw + 3]
@@ -617,9 +660,9 @@ def _run_ar_kernel(kw, state, cond_a, cond_b, lpc, cfg, n_samples, bt,
     t_spec = pl.BlockSpec((n_samples, BT), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
 
-    names = _WNAMES_Q8 if q8 else _WNAMES_F32
+    names = _q8_names(kw) if q8 else _WNAMES_F32
     kernel = functools.partial(_ar_kernel, n_samples, na, nb, q8, masked,
-                               sampled)
+                               sampled, names)
     in_specs = ([w_spec(kw[n].shape) for n in names]
                 + [b_spec(3 * na), b_spec(3 * nb), b_spec(LPC_ORDER)]
                 + ([t_spec, t_spec] if masked else [])

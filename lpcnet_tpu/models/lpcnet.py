@@ -100,6 +100,15 @@ def fuse_inference_params(params: Dict[str, Any], cfg: LPCNetConfig) -> Dict[str
         "embed_sig_a": jnp.matmul(e, ka[:EMBED_SIZE], precision=nn.HIGHEST),
         "embed_pred_a": jnp.matmul(e, ka[EMBED_SIZE:2 * EMBED_SIZE], precision=nn.HIGHEST),
         "embed_exc_a": jnp.matmul(e, ka[2 * EMBED_SIZE:3 * EMBED_SIZE], precision=nn.HIGHEST),
+        # raw factors of the composed tables above (embed_*_a = e @ ka-block,
+        # rank <= EMBED_SIZE): the factored sampler kernel variant
+        # (kernels/sample_loop LPCNET_EMB=factored) gathers the 128-dim
+        # embedding first and applies the input kernel second, shrinking the
+        # one-hot contraction. C-blob-loaded models only have the composed
+        # tables (dump_lpcnet.py composes before export), so these keys are
+        # optional everywhere.
+        "embed_table": e,
+        "gru_a_in_kernel": ka[:3 * EMBED_SIZE],
         "cond_to_a": {"kernel": ka[3 * EMBED_SIZE:], "bias": params["gru_a"]["bias"][0]},
         "cond_to_b": {"kernel": params["gru_b"]["kernel"][cfg.rnn_units1:],
                       "bias": params["gru_b"]["bias"][0]},

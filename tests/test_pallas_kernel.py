@@ -294,3 +294,72 @@ def test_bit_tree_v2_v3_bit_identical(monkeypatch, q8):
         for a, r, name in zip(outs[variant], outs["v1"],
                               ("pcm", "exc", "gru_b")):
             np.testing.assert_array_equal(a, r, f"{variant} {name}")
+
+
+def test_factored_embedding_operands_close():
+    """LPCNET_EMB=factored bundle math: gathering int8 embedding rows and
+    applying the scale-folded input kernel must reproduce the composed
+    float tables within the double-quantization budget (~2%)."""
+    import jax.numpy as jnp
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(5), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    from lpcnet_tpu.nn import quantized as Q
+    try:
+        K._EMB = "factored"
+        kw = K.kernel_weights(Q.quantize_fused(fused), cfg)
+    finally:
+        K._EMB = "v1"
+    assert "embf_q8" in kw and "emb_q8" in kw
+    e_q8 = np.asarray(kw["embf_q8"], np.int32)          # [256, 128]
+    ka_q8 = np.asarray(kw["embf_w_q8"], np.float32)     # [384, 3Na]
+    t = np.asarray(kw["embf_scale"])[0]                 # [3Na]
+    comp = np.concatenate([np.asarray(fused[k], np.float32) for k in
+                           ("embed_sig_a", "embed_pred_a", "embed_exc_a")])
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 256, 64)
+    for off in range(3):
+        g = e_q8[idx].astype(np.float32)                # gathered int8 rows
+        got = g @ ka_q8[off * 128:(off + 1) * 128] * t
+        want = comp[off * 256 + idx]
+        scale = np.max(np.abs(want))
+        np.testing.assert_allclose(got, want, atol=0.02 * scale,
+                                   err_msg=f"table block {off}")
+
+
+@pytest.mark.slow
+def test_pallas_q8_factored_close_to_quantized_scan():
+    """The factored-embedding q8 kernel variant vs the quantized scan path:
+    same GRU integer numerics, embedding differs by double quantization, so
+    demand strong (not exact) sample agreement and RNG lockstep."""
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(2), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    from lpcnet_tpu.nn import quantized as Q
+    fq = Q.quantize_fused(fused)
+    try:
+        K._EMB = "factored"
+        kw = K.kernel_weights(fq, cfg)
+    finally:
+        K._EMB = "v1"
+    assert "embf_q8" in kw
+
+    b = K.BT
+    feats = jax.random.normal(jax.random.PRNGKey(9), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+    s0 = M.init_sample_state(b, cfg)
+    n = 32
+    s_scan, pcm_scan = M.synthesize_frame(fq, s0, ca, cb, lpc, n_samples=n)
+    s_pal, pcm_pal = K.synthesize_frame_pallas(kw, s0, ca, cb, lpc, cfg,
+                                               n_samples=n)
+    pcm_scan, pcm_pal = np.asarray(pcm_scan), np.asarray(pcm_pal)
+    same = np.mean(pcm_scan == pcm_pal)
+    assert same > 0.85, f"sample agreement only {same}"
+    # AR feedback drifts freely once one bit decision flips, so bound the
+    # state error only on streams whose samples fully agreed
+    clean = np.all(pcm_scan == pcm_pal, axis=1)
+    assert np.mean(clean) > 0.5, f"only {np.mean(clean)} streams clean"
+    np.testing.assert_allclose(np.asarray(s_pal.gru_a)[clean],
+                               np.asarray(s_scan.gru_a)[clean], atol=8e-2)
+    assert np.array_equal(np.asarray(s_pal.rng.z), np.asarray(s_scan.rng.z))
