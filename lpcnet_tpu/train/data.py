@@ -35,7 +35,7 @@ class LPCNetLoader:
 
     def __init__(self, pcm_path: str, feature_path: str, batch_size: int = 128,
                  chunk_frames: int = 15, lookahead: int = 2, e2e: bool = False,
-                 seed: int = 0):
+                 seed: int = 0, holdout_batches: int = 0):
         self.batch_size = batch_size
         self.lookahead = lookahead
         self.e2e = e2e
@@ -57,12 +57,31 @@ class LPCNetLoader:
             strides=(chunk_frames * nf * sizeof, nf * sizeof, sizeof))
         self.periods = (0.1 + 50.0 * self.features[:, :, 18:19] + 100).astype("int16")
         self.nb_batches = nb_frames // batch_size
+        # held-out teacher-forced split: the LAST holdout_batches*B chunks
+        # (the corpus tail) never enter the shuffled training indices and
+        # are served fixed/unshuffled by val_batches()
+        self.holdout_batches = min(holdout_batches,
+                                   max(self.nb_batches - 1, 0))
+        self.nb_batches -= self.holdout_batches
+        self._n_train_chunks = self.nb_batches * self.batch_size
         self._rng = np.random.RandomState(seed)
         self.on_epoch_end()
 
     def on_epoch_end(self):
-        self.indices = np.arange(self.nb_batches * self.batch_size)
+        self.indices = np.arange(self._n_train_chunks)
         self._rng.shuffle(self.indices)
+
+    def val_batches(self):
+        """Fixed held-out batches (empty unless holdout_batches > 0)."""
+        save = self.indices
+        try:
+            n = self.holdout_batches * self.batch_size
+            self.indices = np.arange(self._n_train_chunks,
+                                     self._n_train_chunks + n)
+            for i in range(self.holdout_batches):
+                yield self[i]
+        finally:
+            self.indices = save
 
     def __len__(self):
         return self.nb_batches
@@ -122,7 +141,7 @@ class DeviceLPCNetLoader:
 
     def __init__(self, pcm_path: str, feature_path: str, batch_size: int = 128,
                  chunk_frames: int = 15, lookahead: int = 2, e2e: bool = False,
-                 seed: int = 0, sharding=None):
+                 seed: int = 0, sharding=None, holdout_batches: int = 0):
         import jax
         import jax.numpy as jnp
 
@@ -151,6 +170,12 @@ class DeviceLPCNetLoader:
             feats[: n_chunk_rows * chunk_frames * nf],
             (n_chunk_rows, chunk_frames * nf)))
         self.nb_batches = nb_frames // batch_size
+        # same held-out tail split as LPCNetLoader (host-parity test covers
+        # the indices contract)
+        self.holdout_batches = min(holdout_batches,
+                                   max(self.nb_batches - 1, 0))
+        self.nb_batches -= self.holdout_batches
+        self._n_train_chunks = self.nb_batches * self.batch_size
         self._rng = np.random.RandomState(seed)
         self.on_epoch_end()
 
@@ -182,8 +207,20 @@ class DeviceLPCNetLoader:
         self._sample = jax.jit(sample)
 
     def on_epoch_end(self):
-        self.indices = np.arange(self.nb_batches * self.batch_size)
+        self.indices = np.arange(self._n_train_chunks)
         self._rng.shuffle(self.indices)
+
+    def val_batches(self):
+        """Fixed held-out batches (empty unless holdout_batches > 0)."""
+        save = self.indices
+        try:
+            n = self.holdout_batches * self.batch_size
+            self.indices = np.arange(self._n_train_chunks,
+                                     self._n_train_chunks + n)
+            for i in range(self.holdout_batches):
+                yield self[i]
+        finally:
+            self.indices = save
 
     def __len__(self):
         return self.nb_batches

@@ -193,6 +193,34 @@ class Trainer:
         # mode); callers fetch at log intervals (float()/device_get)
         return dict(metrics)
 
+    def eval_loss(self, batches, params=None) -> Dict[str, float]:
+        """Mean teacher-forced loss over held-out batches (e.g.
+        loader.val_batches()) -- the same surface as the train loss, so the
+        train/val gap directly reads out memorization; the synthesis-side
+        HeldOutValidator complements it with a free-running signal.
+        Deterministic: fixed noise rng, fresh GRU states per batch."""
+        if not hasattr(self, "_eval_step"):
+            def ev(params, batch, gru_states):
+                _, (metrics, _) = loss_fn(params, self.cfg, self.tc, batch,
+                                          jax.random.PRNGKey(0), gru_states)
+                return metrics
+            self._eval_step = jax.jit(ev)
+        params = self.state.params if params is None else params
+        out = None
+        n = 0
+        for batch in batches:
+            batch = pmesh.shard_batch(self.mesh, {
+                k: jnp.asarray(v) for k, v in batch.items()})
+            b = batch["sig_in"].shape[0]
+            states = (jnp.zeros((b, self.cfg.rnn_units1)),
+                      jnp.zeros((b, self.cfg.rnn_units2)))
+            m = self._eval_step(params, batch, states)
+            out = m if out is None else {k: out[k] + m[k] for k in out}
+            n += 1
+        if out is None:
+            return {}
+        return {k: float(v) / n for k, v in out.items()}
+
     @property
     def ema_params(self):
         """EMA of params (None when ema_decay == 0)."""

@@ -298,3 +298,43 @@ def test_in_graph_schedule_sparsifies():
     n = rec.shape[0]
     off = rec[:, :n] - np.diag(np.diag(rec[:, :n]))
     assert np.mean(off != 0) < 0.6, "z-gate off-diagonal should be pruned"
+
+
+def test_loader_holdout_split(tmp_path):
+    """holdout_batches excludes the corpus tail from training indices, both
+    loaders serve identical fixed val batches, and eval_loss consumes them."""
+    from lpcnet_tpu.train.data import DeviceLPCNetLoader, LPCNetLoader
+    rng = np.random.RandomState(0)
+    bs, cf, nchunks = 4, 5, 25   # device loader needs chunk_frames >= 4
+    pcm = rng.randint(-3000, 3000, nchunks * cf * 160 * 2).astype(np.int16)
+    nf = 36
+    feats = rng.randn((nchunks + 1) * cf * nf).astype(np.float32) * 0.3
+    dpath, fpath = str(tmp_path / "d.s16"), str(tmp_path / "f.f32")
+    pcm.tofile(dpath)
+    feats.tofile(fpath)
+    host = LPCNetLoader(dpath, fpath, batch_size=bs, chunk_frames=cf,
+                        holdout_batches=2)
+    dev = DeviceLPCNetLoader(dpath, fpath, batch_size=bs, chunk_frames=cf,
+                             holdout_batches=2)
+    assert host.nb_batches == dev.nb_batches
+    n_train = host.nb_batches * bs
+    assert np.max(host.indices) < n_train
+    hv = list(host.val_batches())
+    dv = list(dev.val_batches())
+    assert len(hv) == len(dv) == 2
+    for h, d in zip(hv, dv):
+        for k in h:
+            np.testing.assert_allclose(np.asarray(d[k]), h[k], atol=1e-5,
+                                       err_msg=k)
+    # training indices untouched after serving val batches
+    assert np.max(host.indices) < n_train
+    assert np.max(dev.indices) < n_train
+
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=bs, chunk_frames=cf)
+    mesh = pmesh.make_mesh(jax.devices("cpu")[:1])
+    tr = Trainer(cfg, tc, mesh=mesh)
+    m = tr.eval_loss(hv)
+    assert np.isfinite(m["loss"])
+    m2 = tr.eval_loss(hv)
+    assert m == m2, "eval_loss must be deterministic"

@@ -57,6 +57,9 @@ def main():
                     help="held-out synth_corpus seeds for validation clips "
                          "(must not overlap --corpus-seeds)")
     ap.add_argument("--val-seconds", type=float, default=8.0)
+    ap.add_argument("--val-holdout", type=int, default=4,
+                    help="data batches held out of training for the "
+                         "teacher-forced val loss (0 = off)")
     ap.add_argument("--ema", type=float, default=0.0,
                     help="params EMA decay for eval/ship (0 = off; forced "
                          "off with --quantize: EMA leaves the int8 grid)")
@@ -120,7 +123,8 @@ def main():
                      **({"density": tuple(args.density_split)}
                         if args.density_split else {}))
     loader_cls = LPCNetLoader if args.host_loader else DeviceLPCNetLoader
-    loader = loader_cls(dpath, fpath, batch_size=args.batch_size)
+    loader = loader_cls(dpath, fpath, batch_size=args.batch_size,
+                        holdout_batches=args.val_holdout)
     print(f"{len(loader)} batches/epoch", flush=True)
     trainer = Trainer(cfg, tc)
     if args.init_from:
@@ -178,7 +182,13 @@ def main():
                 f.write(f"step {step} ({win}): {m}\n")
         line = " ".join(f"{n}:{r['band_lsd_db']:.3f}"
                         for n, r in results.items())
-        print(f"step {step}: VAL band-LSD {line} dB "
+        tf_txt = ""
+        if args.val_holdout:
+            tf = trainer.eval_loss(loader.val_batches())
+            if tf:
+                mlog.log_async(step=step, kind="val_tf", **tf)
+                tf_txt = f" tf-loss {tf['loss']:.4f}"
+        print(f"step {step}: VAL band-LSD {line} dB{tf_txt} "
               f"(best {best.best:.3f} @ {best.best_step}"
               f"{' *' if improved else ''})", flush=True)
         for name, r in results.items():
