@@ -205,6 +205,24 @@ class DeviceLPCNetLoader:
             return out
 
         self._sample = jax.jit(sample)
+        # un-jitted pure gather for fusion into a caller's traced loop
+        # (train_lpcnet.Trainer.train_block scans train steps on device;
+        # the per-step batch gather runs inside the same dispatch)
+        self.sample_fn = sample
+
+    @property
+    def device_arrays(self):
+        """(sig_in, sig_out, features) device-resident corpus arrays."""
+        return self._sig_in, self._sig_out, self._features
+
+    def index_blocks(self, block_steps: int):
+        """Yield [block_steps, B] int32 index blocks covering one epoch
+        (drops the last partial block)."""
+        bs = self.batch_size
+        n = (self.nb_batches // block_steps) * block_steps
+        for i in range(0, n, block_steps):
+            sel = self.indices[i * bs:(i + block_steps) * bs]
+            yield np.reshape(sel, (block_steps, bs)).astype(np.int32)
 
     def on_epoch_end(self):
         self.indices = np.arange(self._n_train_chunks)

@@ -193,6 +193,53 @@ class Trainer:
         # mode); callers fetch at log intervals (float()/device_get)
         return dict(metrics)
 
+    def train_block(self, loader, sels, base_key=None) -> Dict[str, Any]:
+        """Run sels.shape[0] train steps as ONE device dispatch.
+
+        Requires a DeviceLPCNetLoader: the per-step batch gather
+        (loader.sample_fn) runs inside a lax.scan with the train step, so
+        the remote-dispatch round trip amortizes over the whole block --
+        the per-step path realized 6.2 steps/s through the tunnel vs 14.4
+        device-bound (BENCHMARKS.md round-3 training). The per-step rng
+        derives from fold_in(base_key, step) on device (the step counter
+        is traced state), so results are independent of block size.
+
+        Returns metrics as [K]-shaped DEVICE arrays (fetch at log
+        intervals).
+        """
+        if not hasattr(self, "_block_step"):
+            step_fn = make_train_step(self.cfg, self.tc, self.optimizer,
+                                      self.sched_a, self.sched_b)
+            sample_fn = loader.sample_fn
+
+            def block(state, gru, ema, sig_in, sig_out, feats, sels, key):
+                def body(carry, sel):
+                    state, gru, ema = carry
+                    batch = sample_fn(sig_in, sig_out, feats, sel)
+                    rng = jax.random.fold_in(key, state.step)
+                    state, metrics, gru, ema = step_fn(state, batch, rng,
+                                                       gru, ema)
+                    return (state, gru, ema), metrics
+
+                (state, gru, ema), ms = jax.lax.scan(body, (state, gru, ema),
+                                                     sels)
+                return state, gru, ema, ms
+
+            self._block_step = jax.jit(block, donate_argnums=(0, 1, 2))
+            self._block_key = jax.random.PRNGKey(917)
+        if base_key is None:
+            base_key = self._block_key
+        if self._gru_states is None:
+            b = loader.batch_size
+            self._gru_states = (jnp.zeros((b, self.cfg.rnn_units1)),
+                                jnp.zeros((b, self.cfg.rnn_units2)))
+        sig_in, sig_out, feats = loader.device_arrays
+        self.state, self._gru_states, self._ema, ms = self._block_step(
+            self.state, self._gru_states, self._ema, sig_in, sig_out,
+            feats, jnp.asarray(sels), base_key)
+        self._host_step += int(sels.shape[0])
+        return dict(ms)
+
     def eval_loss(self, batches, params=None) -> Dict[str, float]:
         """Mean teacher-forced loss over held-out batches (e.g.
         loader.val_batches()) -- the same surface as the train loss, so the

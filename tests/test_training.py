@@ -338,3 +338,39 @@ def test_loader_holdout_split(tmp_path):
     assert np.isfinite(m["loss"])
     m2 = tr.eval_loss(hv)
     assert m == m2, "eval_loss must be deterministic"
+
+
+def test_train_block_size_invariant(tmp_path):
+    """train_block scans (gather + step) on device; the per-step rng is
+    fold_in(key, step-counter), so 1 block of 4 steps must produce params
+    IDENTICAL to 2 blocks of 2."""
+    from lpcnet_tpu.train.data import DeviceLPCNetLoader
+    rng = np.random.RandomState(0)
+    bs, cf, nchunks = 4, 5, 25
+    pcm = rng.randint(-3000, 3000, nchunks * cf * 160 * 2).astype(np.int16)
+    feats = rng.randn((nchunks + 1) * cf * 36).astype(np.float32) * 0.3
+    dpath, fpath = str(tmp_path / "d.s16"), str(tmp_path / "f.f32")
+    pcm.tofile(dpath)
+    feats.tofile(fpath)
+
+    def run(block_sizes):
+        loader = DeviceLPCNetLoader(dpath, fpath, batch_size=bs,
+                                    chunk_frames=cf, seed=3)
+        cfg = tiny_cfg()
+        tc = TrainConfig(batch_size=bs, chunk_frames=cf, ema_decay=0.999)
+        tr = Trainer(cfg, tc, mesh=pmesh.make_mesh(jax.devices("cpu")[:1]))
+        blocks = iter(loader.index_blocks(1))
+        sels = np.concatenate([next(blocks) for _ in range(4)], axis=0)
+        off = 0
+        losses = []
+        for k in block_sizes:
+            ms = tr.train_block(loader, sels[off:off + k])
+            losses += list(np.asarray(ms["loss"]))
+            off += k
+        assert tr._host_step == 4
+        return jax.device_get(tr.state.params), losses
+
+    p1, l1 = run([4])
+    p2, l2 = run([2, 2])
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), p1, p2)

@@ -203,32 +203,65 @@ def main():
         rng, _ = jax.random.split(rng)
     t0 = time.time()
     t_val = 0.0
-    while step < args.steps:
-        for batch in loader:
-            rng, sub = jax.random.split(rng)
-            m = trainer.train_step(batch, sub)
-            step += 1
-            mlog.log_async(step=step, **m)
-            if step % 50 == 0:
-                mlog.flush_async()
-                # report the TRAIN rate (validation pauses excluded) so the
-                # number is comparable to the bench.py train mode
-                dt = time.time() - t0 - t_val
-                print(f"step {step}: loss={float(m['loss']):.4f} "
-                      f"({(step - start_step) / dt:.2f} steps/s)",
-                      flush=True)
-            if validator is not None and step % args.val_every == 0:
-                tv = time.time()
-                run_validation(step)
-                t_val += time.time() - tv
-            if args.save_every and step % args.save_every == 0:
-                save(jax.device_get(trainer.state.params), f"_{step}")
-            if args.orbax_every and step % args.orbax_every == 0:
-                save_train_state(os.path.join(orbax_dir, f"step_{step}"),
-                                 trainer.state)
-            if step >= args.steps:
-                break
-        loader.on_epoch_end()
+
+    def at_boundaries(step, last_loss):
+        nonlocal t_val
+        if step % 50 == 0:
+            mlog.flush_async()
+            # report the TRAIN rate (validation pauses excluded) so the
+            # number is comparable to the bench.py train mode
+            dt = time.time() - t0 - t_val
+            print(f"step {step}: loss={last_loss:.4f} "
+                  f"({(step - start_step) / dt:.2f} steps/s)",
+                  flush=True)
+        if validator is not None and step % args.val_every == 0:
+            tv = time.time()
+            run_validation(step)
+            t_val += time.time() - tv
+        if args.save_every and step % args.save_every == 0:
+            save(jax.device_get(trainer.state.params), f"_{step}")
+        if args.orbax_every and step % args.orbax_every == 0:
+            save_train_state(os.path.join(orbax_dir, f"step_{step}"),
+                             trainer.state)
+
+    if not args.host_loader:
+        # device-resident fast path: 50 train steps (batch gather included)
+        # per dispatch -- the per-step path pays a tunnel round trip per
+        # step (6.2 realized vs 14.4 device-bound steps/s, BENCHMARKS.md)
+        BLK = 50
+        for name in ("val_every", "save_every", "orbax_every"):
+            v = getattr(args, name)
+            if v and v % BLK:
+                setattr(args, name, (v // BLK + 1) * BLK)
+                print(f"{name} rounded to {getattr(args, name)} "
+                      f"(device block size {BLK})", flush=True)
+        while step < args.steps:
+            for sels in loader.index_blocks(BLK):
+                ms = trainer.train_block(loader, sels)
+                step += BLK
+                mlog.log_async(step=step, **{
+                    k: float(np.mean(np.asarray(v))) for k, v in ms.items()})
+                at_boundaries(step, float(np.asarray(ms["loss"])[-1]))
+                if step >= args.steps:
+                    break
+            loader.on_epoch_end()
+    else:
+        while step < args.steps:
+            for batch in loader:
+                rng, sub = jax.random.split(rng)
+                m = trainer.train_step(batch, sub)
+                step += 1
+                mlog.log_async(step=step, **m)
+                if step % 50 == 0:
+                    at_boundaries(step, float(m["loss"]))
+                elif (validator is not None and step % args.val_every == 0
+                      ) or (args.save_every and step % args.save_every == 0
+                            ) or (args.orbax_every
+                                  and step % args.orbax_every == 0):
+                    at_boundaries(step, float(m["loss"]))
+                if step >= args.steps:
+                    break
+            loader.on_epoch_end()
 
     mlog.flush_async()
     save(jax.device_get(trainer.state.params))
