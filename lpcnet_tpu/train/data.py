@@ -158,15 +158,19 @@ class DeviceLPCNetLoader:
                           (nb_frames, pcm_chunk, 2))
         # TPU layout: keep the long sample axis minor (a [..., 2] minor dim
         # tiles to 128 lanes, a 64x pad), and make every per-chunk fetch ONE
-        # contiguous big-row gather -- small-row gathers serialize on TPU
-        self._sig_in = jax.device_put(np.ascontiguousarray(data[:, :, 0]))
-        self._sig_out = jax.device_put(np.ascontiguousarray(data[:, :, 1]))
+        # contiguous big-row gather -- small-row gathers serialize on TPU.
+        # `sharding` (e.g. parallel.mesh.replicated(mesh)) places the corpus
+        # on every chip of a DP mesh so the in-graph gather stays local.
+        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+            else jax.device_put
+        self._sig_in = put(np.ascontiguousarray(data[:, :, 0]))
+        self._sig_out = put(np.ascontiguousarray(data[:, :, 1]))
         feats = np.memmap(feature_path, dtype="float32", mode="r")
         nf = NB_TOTAL_FEATURES
         n_chunk_rows = min(len(feats) // (chunk_frames * nf), nb_frames + 1)
         # [n, cf*nf] flat per-chunk rows; a window (cf+4 frames) is row i
         # plus the first 4 frames of row i+1
-        self._features = jax.device_put(np.reshape(
+        self._features = put(np.reshape(
             feats[: n_chunk_rows * chunk_frames * nf],
             (n_chunk_rows, chunk_frames * nf)))
         self.nb_batches = nb_frames // batch_size

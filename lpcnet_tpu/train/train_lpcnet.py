@@ -212,10 +212,19 @@ class Trainer:
                                       self.sched_a, self.sched_b)
             sample_fn = loader.sample_fn
 
+            bsh = pmesh.batch_sharding(self.mesh)
+
             def block(state, gru, ema, sig_in, sig_out, feats, sels, key):
                 def body(carry, sel):
                     state, gru, ema = carry
                     batch = sample_fn(sig_in, sig_out, feats, sel)
+                    # the corpus arrays are replicated, so without a
+                    # constraint the gathered batch (and the whole loss)
+                    # would compute replicated on a multi-chip mesh; pin
+                    # the batch axis to the data axis for real DP
+                    batch = jax.tree.map(
+                        lambda x: jax.lax.with_sharding_constraint(x, bsh),
+                        batch)
                     rng = jax.random.fold_in(key, state.step)
                     state, metrics, gru, ema = step_fn(state, batch, rng,
                                                        gru, ema)

@@ -154,3 +154,37 @@ def test_sharded_batched_plc():
     with jax.default_device(devs[0]):
         ref = plc1.run(pcm, lost)
     np.testing.assert_allclose(out, ref, atol=1.0)
+
+
+def test_sharded_train_block(tmp_path):
+    """train_block on an 8-device DP mesh: replicated corpus, in-graph
+    batch gather pinned to the data axis, params replicated after the
+    scanned update chain."""
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("needs 8 cpu devices")
+    from lpcnet_tpu.train.data import DeviceLPCNetLoader
+    from lpcnet_tpu.train.train_lpcnet import TrainConfig, Trainer
+
+    mesh = pmesh.make_mesh(devs[:8])
+    rng = np.random.RandomState(0)
+    bs, cf, nchunks = 16, 5, 70
+    pcm = rng.randint(-3000, 3000, nchunks * cf * 160 * 2).astype(np.int16)
+    feats = rng.randn((nchunks + 1) * cf * 36).astype(np.float32) * 0.3
+    dpath, fpath = str(tmp_path / "d.s16"), str(tmp_path / "f.f32")
+    pcm.tofile(dpath)
+    feats.tofile(fpath)
+    loader = DeviceLPCNetLoader(dpath, fpath, batch_size=bs, chunk_frames=cf,
+                                sharding=pmesh.replicated(mesh))
+    cfg = M.LPCNetConfig(rnn_units1=32, rnn_units2=16, cond_size=16,
+                         pitch_embed_dim=8)
+    tc = TrainConfig(batch_size=bs, chunk_frames=cf, ema_decay=0.999)
+    tr = Trainer(cfg, tc, mesh=mesh)
+    sels = next(iter(loader.index_blocks(4)))
+    ms = tr.train_block(loader, sels)
+    losses = np.asarray(ms["loss"])
+    assert losses.shape == (4,) and np.isfinite(losses).all()
+    assert tr._host_step == 4
+    # params stay replicated (fully addressable on every device)
+    p = tr.state.params["gru_a"]["recurrent"]
+    assert p.sharding.is_fully_replicated
