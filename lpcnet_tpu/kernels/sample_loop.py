@@ -772,15 +772,22 @@ def synthesize_frame_masked_auto(kw, state, cond_a, cond_b, lpc, preload,
 _WNAMES_TF_F32 = ("emb_cat", "a_rec", "a_bias1", "b_in", "b_rec", "b_bias1")
 _WNAMES_TF_Q8 = ("emb_q8", "emb_scale", "a_rec_q8", "a_diag", "a_bias1",
                  "b_in_q8", "b_rec_q8", "b_bias1")
+_WNAMES_TF_Q8_FACT = ("embf_q8", "embf_w_q8", "embf_scale", "a_rec_q8",
+                      "a_diag", "a_bias1", "b_in_q8", "b_rec_q8", "b_bias1")
 
 
-def _tf_kernel(blk_samples, n_blocks, na, nb, q8, *refs):
+def _tf_names(kw, q8):
+    if not q8:
+        return _WNAMES_TF_F32
+    return _WNAMES_TF_Q8_FACT if "embf_q8" in kw else _WNAMES_TF_Q8
+
+
+def _tf_kernel(blk_samples, n_blocks, na, nb, q8, names, *refs):
     """GRU-only teacher-forced kernel: precomputed u-law index sequences in,
     (h_a, h_b, rng) out. `n_blocks` static conditioning blocks of
     `blk_samples` steps each (the PLC drain's per-iteration frame nets);
     streams advance on a per-(stream, block) step-count prefix (count=0
     freezes a stream for that block)."""
-    names = _WNAMES_TF_Q8 if q8 else _WNAMES_TF_F32
     nw = len(names)
     W = dict(zip(names, refs[:nw]))
     (conda_ref, condb_ref, count_ref, idx_ref,
@@ -909,8 +916,9 @@ def teacher_force_blocks_pallas(kw, state: SampleState, cond_a_blocks,
     t_spec = pl.BlockSpec((n_total, bt), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
 
-    names = _WNAMES_TF_Q8 if q8 else _WNAMES_TF_F32
-    kernel = functools.partial(_tf_kernel, blk_samples, n_blocks, na, nb, q8)
+    names = _tf_names(kw, q8)
+    kernel = functools.partial(_tf_kernel, blk_samples, n_blocks, na, nb, q8,
+                               names)
     in_specs = ([w_spec(kw[n].shape) for n in names]
                 + [b_spec(n_blocks * 3 * na), b_spec(n_blocks * 3 * nb),
                    b_spec(n_blocks), t_spec,

@@ -363,3 +363,41 @@ def test_pallas_q8_factored_close_to_quantized_scan():
     np.testing.assert_allclose(np.asarray(s_pal.gru_a)[clean],
                                np.asarray(s_scan.gru_a)[clean], atol=8e-2)
     assert np.array_equal(np.asarray(s_pal.rng.z), np.asarray(s_scan.rng.z))
+
+
+def test_tf_blocks_factored_close_to_composed():
+    """The factored-embedding TF kernel: teacher-forced GRU states must
+    track the composed-embedding bundle within the double-quantization
+    budget (no AR feedback here, so the bound is tight)."""
+    import jax.numpy as jnp
+    cfg = M.LPCNetConfig()
+    params = M.init_params(jax.random.PRNGKey(4), cfg)
+    fused = M.fuse_inference_params(params, cfg)
+    from lpcnet_tpu.nn import quantized as Q
+    fq = Q.quantize_fused(fused)
+    kw_v1 = K.kernel_weights(fq, cfg)
+    try:
+        K._EMB = "factored"
+        kw_f = K.kernel_weights(fq, cfg)
+    finally:
+        K._EMB = "v1"
+
+    b, n = 256, 16
+    feats = jax.random.normal(jax.random.PRNGKey(12), (b, 36)) * 0.3
+    fstate = M.init_frame_state(b, cfg)
+    fstate, cond, ca, cb, lpc = M.frame_network(fused, fstate, feats, cfg)
+    s0 = M.init_sample_state(b, cfg)
+    targets = jax.random.normal(jax.random.PRNGKey(13), (b, n)) * 1000.0
+    count = jnp.asarray(np.r_[np.full(b // 2, n), np.zeros(b // 2)],
+                        jnp.int32)
+    s_v1 = K.teacher_force_prefix_pallas(kw_v1, s0, ca, cb, lpc, targets,
+                                         count, cfg, n)
+    s_f = K.teacher_force_prefix_pallas(kw_f, s0, ca, cb, lpc, targets,
+                                        count, cfg, n)
+    np.testing.assert_allclose(np.asarray(s_f.gru_a),
+                               np.asarray(s_v1.gru_a), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(s_f.gru_b),
+                               np.asarray(s_v1.gru_b), atol=5e-2)
+    # frozen streams identical either way
+    np.testing.assert_array_equal(np.asarray(s_f.gru_a[b // 2:]),
+                                  np.asarray(s0.gru_a[b // 2:]))
