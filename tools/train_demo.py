@@ -199,14 +199,19 @@ def main():
     mlog = MetricsLogger(os.path.join(args.outdir, "metrics.jsonl"))
     rng = jax.random.PRNGKey(1)
     step = start_step
-    for _ in range(step):        # keep the data/rng streams deterministic
-        rng, _ = jax.random.split(rng)
+    if args.host_loader:
+        for _ in range(step):    # keep the per-step split chain deterministic
+            rng, _ = jax.random.split(rng)
+    # (block path needs no fast-forward: its rng is fold_in(key, step))
     t0 = time.time()
     t_val = 0.0
 
+    last_print = start_step
+
     def at_boundaries(step, last_loss):
-        nonlocal t_val
-        if step % 50 == 0:
+        nonlocal t_val, last_print
+        if step - last_print >= 50 or step % 50 == 0:
+            last_print = step
             mlog.flush_async()
             # report the TRAIN rate (validation pauses excluded) so the
             # number is comparable to the bench.py train mode
@@ -228,7 +233,7 @@ def main():
         # device-resident fast path: 50 train steps (batch gather included)
         # per dispatch -- the per-step path pays a tunnel round trip per
         # step (6.2 realized vs 14.4 device-bound steps/s, BENCHMARKS.md)
-        BLK = 50
+        BLK = max(1, min(50, len(loader)))   # an epoch can be < 50 batches
         for name in ("val_every", "save_every", "orbax_every"):
             v = getattr(args, name)
             if v and v % BLK:
