@@ -466,7 +466,12 @@ def _plc_pred_masked(plc_params, s: BatchedPLCState, plc_in, active,
     return s
 
 
-_FASTCHAIN = __import__("os").environ.get("LPCNET_PLC_FASTCHAIN", "1") != "0"
+# Default OFF since round 4: the same-session flag matrix (N=5 medians,
+# tools/bench_plc_matrix.py, artifacts/bench_plc_matrix_r4*.log) measured
+# the chain kernel net-NEGATIVE next to compaction alone in both modes
+# (causal 14.17 vs 15.00 Ms/s at cap=64; nc 15.65 vs 15.68), confirming
+# the round-3 ablation hint. The kernel stays available for A/B.
+_FASTCHAIN = __import__("os").environ.get("LPCNET_PLC_FASTCHAIN", "0") != "0"
 
 
 def _chain_causal(plc_params, s: BatchedPLCState, L, bl, burg_feats, delay,
@@ -576,9 +581,13 @@ def _compact_capacity(b: int) -> int:
         return 0
     if _COMPACT_ENV not in ("auto", ""):
         return int(_COMPACT_ENV)
-    # 3/8 of the pool (4.9 sigma above the 19% expected active mass at
-    # B=256) rounded up to the int8 sublane tile
-    return (3 * b // 8 + 31) // 32 * 32 if b >= 128 else 0
+    # b/4 rounded up to the int8 sublane tile: 64 at the B=256 reference
+    # pool -- the measured-best capacity in the round-4 same-session flag
+    # matrix (3.662x/3.829x RT/stream causal/nc vs 3.383x/3.688x for the
+    # old 3b/8=96, artifacts/bench_plc_matrix_r4*.log). Still ~2.4 sigma
+    # above the 19% expected active mass at 10% loss; overflow frames
+    # fall back to the full-batch kernels via lax.cond (correct, slower).
+    return (b // 4 + 31) // 32 * 32 if b >= 128 else 0
 
 
 def _section_body(kw, cfg, sec, enable_blending, remove_dc, bt):
