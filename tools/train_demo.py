@@ -73,6 +73,11 @@ def main():
                     help="GRU-A recurrent density triple; 1 1 1 trains "
                          "dense (the TPU inference kernels run dense "
                          "either way -- sparsity is a CPU-SIMD concern)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override TrainConfig.lr (continuation phases "
+                         "need a decayed lr, not lr0 -- NOTES.md 08-19)")
+    ap.add_argument("--decay", type=float, default=None,
+                    help="override TrainConfig.decay (1/(1+decay*t))")
     ap.add_argument("--host-loader", action="store_true",
                     help="use the host memmap loader instead of the "
                          "device-resident one (for datasets too big for HBM)")
@@ -121,7 +126,10 @@ def main():
                      schedule_scale=args.schedule_scale,
                      ema_decay=ema_decay,
                      **({"density": tuple(args.density_split)}
-                        if args.density_split else {}))
+                        if args.density_split else {}),
+                     **({"lr": args.lr} if args.lr else {}),
+                     **({"decay": args.decay}
+                        if args.decay is not None else {}))
     loader_cls = LPCNetLoader if args.host_loader else DeviceLPCNetLoader
     loader = loader_cls(dpath, fpath, batch_size=args.batch_size,
                         holdout_batches=args.val_holdout)
