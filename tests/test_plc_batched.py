@@ -604,3 +604,20 @@ def test_nc_kernel_section_matches_scan(monkeypatch):
     np.testing.assert_array_equal(out_k[:, :4], out_s[:, :4])
     d = np.abs(out_k.astype(np.float64) - out_s.astype(np.float64))
     assert (d > 2).mean() < 0.05, f"diverged: {(d > 2).mean():.1%}"
+
+
+def test_default_flags_are_measured_best():
+    """The shipped defaults must equal the round-4 flag-matrix winner
+    (BENCHMARKS.md round-4: compact cap=b/4, chain kernel OFF -- it
+    measured net-negative in both modes). Guards against the round-3
+    failure mode where the shipped default and the measured-best config
+    silently diverged."""
+    from lpcnet_tpu.plc import batched as BP
+    assert BP._FASTCHAIN is False
+    assert BP._COMPACT_ENV == "auto"
+    # b/4 rounded up to the 32-sublane tile; off below the 128 floor
+    assert BP._compact_capacity(256) == 64
+    assert BP._compact_capacity(1024) == 256
+    assert BP._compact_capacity(129) == 32
+    assert BP._compact_capacity(128) == 32
+    assert BP._compact_capacity(64) == 0
