@@ -87,6 +87,13 @@ def main():
         avg = tree_avg(tail)
         name = f"avg-last-{k} (steps>={snaps[-k][0]})"
         candidates.append((name, avg, score(avg, name)))
+    # head windows too: when quality peaks early in the run (the r4
+    # signature), the informative averages are over the EARLY snapshots
+    for k in range(2, min(4, len(snaps)) + 1):
+        head = [loaded[p] for _, p in snaps[:k]]
+        avg = tree_avg(head)
+        name = f"avg-first-{k} (steps<={snaps[k - 1][0]})"
+        candidates.append((name, avg, score(avg, name)))
 
     best = min(candidates, key=lambda c: c[2])
     print(f"WINNER: {best[0]} at {best[2]:.3f} dB", flush=True)
