@@ -173,6 +173,11 @@ def main():
         print(f"validator: {len(clips)} held-out clips "
               f"(seeds {val_seeds})", flush=True)
 
+    # in quantize mode, checkpoints before t_end are NOT fully on the
+    # 1/128 int8 grid (progressive_quantize threshold < 0.5) -- shipping
+    # one as the "q" model would be wrong, so best-tracking starts at t_end
+    best_from = int(30000 * args.schedule_scale) if args.quantize else 0
+
     def run_validation(step):
         cand = [("raw", trainer.state.params)]
         if ema_decay > 0.0:
@@ -183,7 +188,7 @@ def main():
         # best-checkpoint selection on the better of raw/EMA
         win = min(results, key=lambda k: results[k]["band_lsd_db"])
         m = results[win]
-        improved = best.update(step, m)
+        improved = step >= best_from and best.update(step, m)
         if improved:
             save(jax.device_get(dict(cand)[win]), "_best")
             with open(os.path.join(args.outdir, "best.txt"), "w") as f:
@@ -196,9 +201,11 @@ def main():
             if tf:
                 mlog.log_async(step=step, kind="val_tf", **tf)
                 tf_txt = f" tf-loss {tf['loss']:.4f}"
+        best_txt = (f"best {best.best:.3f} @ {best.best_step}"
+                    if best.best is not None
+                    else f"best tracked from step {best_from}")
         print(f"step {step}: VAL band-LSD {line} dB{tf_txt} "
-              f"(best {best.best:.3f} @ {best.best_step}"
-              f"{' *' if improved else ''})", flush=True)
+              f"({best_txt}{' *' if improved else ''})", flush=True)
         for name, r in results.items():
             mlog.log_async(step=step, kind=f"val_{name}", **r)
         mlog.flush_async()
