@@ -146,6 +146,120 @@ class PLCLoader:
             yield self[i]
 
 
+class PLCDeviceLoader:
+    """Device-resident variant of PLCLoader.
+
+    The host loader assembles ~37 MB of float batch per step (B=128 x
+    T=1000 x 57 rows + masks) on the host and ships it through the
+    dispatch transport every step -- measured 0.96 steps/s through the
+    axon tunnel.  Here the whole feature set uploads once ([nseq, T, 56]
+    f32), the loss-trace stream uploads once, and per-step batch assembly
+    (sequence row gather, loss-trace row sampling, 10% Burg dropout, the
+    flag channel and the scoring mask) runs on device from a
+    fold_in(key, step) rng -- so it can scan inside
+    PLCTrainer.train_block with zero per-step host traffic.
+
+    Differences from PLCLoader's augmentation (documented, not bugs):
+    loss-trace windows are sampled from two fixed reshape banks (offsets
+    0 and T/2 into the trace stream) instead of one per-epoch random
+    offset, and Burg dropout / trace choice derive from the jax rng
+    rather than numpy.  The val batch is byte-identical to PLCLoader's
+    (same fixed numpy seed), so val curves are comparable across loaders.
+    """
+
+    def __init__(self, feature_path: str, lost_path: str, tc: PLCTrainConfig,
+                 seed: int = 0, val_seqs: int = 0, sharding=None):
+        nb_features = NB_BURG + NB_USED + 16
+        feats = np.fromfile(feature_path, dtype=np.float32)
+        nseq = len(feats) // (nb_features * tc.seq_length)
+        nseq_train = (nseq - val_seqs) // tc.batch_size * tc.batch_size
+        feats = feats[: nseq * tc.seq_length * nb_features]
+        all_feats = feats.reshape(nseq, tc.seq_length, nb_features)[
+            :, :, : NB_BURG + NB_USED]
+        put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+            else jax.device_put
+        self._features = put(np.ascontiguousarray(all_feats[:nseq_train]))
+        self._val_features = (all_feats[nseq - val_seqs:] if val_seqs else None)
+        lost = np.fromfile(lost_path, dtype=np.int8).astype(np.float32)
+        t = tc.seq_length
+        n_rows = len(lost) // t - 1
+        # two reshape banks (offsets 0 and t//2) stand in for the host
+        # loader's per-epoch random offset
+        bank0 = lost[: n_rows * t].reshape(n_rows, t)
+        bank1 = lost[t // 2: t // 2 + n_rows * t].reshape(n_rows, t)
+        self._lost_rows = put(np.ascontiguousarray(
+            np.concatenate([bank0, bank1], axis=0)))
+        self.tc = tc
+        self.batch_size = tc.batch_size
+        self._rng = np.random.RandomState(seed)
+        self.nb_batches = nseq_train // tc.batch_size
+        self._n_train = nseq_train
+        self.on_epoch_end()
+
+        def sample(feats_d, lost_d, sel, rng):
+            f = jnp.take(feats_d, sel, axis=0)              # [B, T, 56]
+            b = sel.shape[0]
+            r1, r2 = jax.random.split(rng)
+            burg_ok = (jax.random.uniform(r1, (b, t, 1)) > 0.1
+                       ).astype(jnp.float32)
+            rows = jax.random.randint(r2, (b,), 0, lost_d.shape[0])
+            lost_b = jnp.take(lost_d, rows, axis=0)[:, :, None]  # [B, T, 1]
+            in_feats = f * lost_b
+            in_feats = jnp.concatenate(
+                [in_feats[:, :, :NB_BURG] * burg_ok,
+                 in_feats[:, :, NB_BURG:]], axis=-1)
+            flag = lost_b * (2.0 * burg_ok - 1.0)
+            return {
+                "plc_input": jnp.concatenate([in_feats, flag], axis=-1),
+                "target": f[:, :, NB_BURG:],
+                "mask": 1.0 - lost_b,
+            }
+
+        self.sample_fn = sample
+        self._lost_host = lost  # for the host-identical val batch
+
+    @property
+    def device_arrays(self):
+        return self._features, self._lost_rows
+
+    def index_blocks(self, block_steps: int):
+        """Yield [block_steps, B] int32 sequence-index blocks covering one
+        epoch (drops the last partial block)."""
+        bs = self.batch_size
+        n = (self.nb_batches // block_steps) * block_steps
+        for i in range(0, n, block_steps):
+            sel = self.indices[i * bs:(i + block_steps) * bs]
+            yield np.reshape(sel, (block_steps, bs)).astype(np.int32)
+
+    def on_epoch_end(self):
+        self.indices = self._rng.permutation(self._n_train)
+
+    def val_batch(self) -> Optional[Dict[str, np.ndarray]]:
+        """Identical to PLCLoader.val_batch (same fixed rng), so the val
+        curve is comparable across loader choices."""
+        if self._val_features is None:
+            return None
+        rng = np.random.RandomState(12345)
+        feats = self._val_features
+        b, t, _ = feats.shape
+        burg_ok = (rng.rand(b, t, 1) > 0.1).astype(np.float32)
+        lo = self._lost_host[: (len(self._lost_host) // t) * t].reshape(-1, t)
+        lost = lo[rng.randint(0, lo.shape[0], b)][:, :, None]
+        in_feats = feats * lost
+        in_feats = in_feats.copy()
+        in_feats[:, :, :NB_BURG] *= burg_ok
+        flag = lost * (2 * burg_ok - 1)
+        return {
+            "plc_input": np.concatenate([in_feats, flag], axis=-1
+                                        ).astype(np.float32),
+            "target": feats[:, :, NB_BURG:].astype(np.float32),
+            "mask": (1.0 - lost).astype(np.float32),
+        }
+
+    def __len__(self):
+        return self.nb_batches
+
+
 class PLCTrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -192,6 +306,7 @@ class PLCTrainer:
             return PLCTrainState(params, opt_state, state.step + 1), metrics
 
         self._step = jax.jit(step_fn, donate_argnums=(0,))
+        self._step_fn = step_fn       # raw, for train_block's traced scan
 
         def eval_fn(params, batch):
             st0 = PM.init_state(batch["plc_input"].shape[0], self.cfg)
@@ -220,6 +335,45 @@ class PLCTrainer:
         # device scalars; callers fetch at log intervals (see
         # train_lpcnet.Trainer.train_step)
         return dict(metrics)
+
+    def train_block(self, loader, sels, base_key=None) -> Dict[str, Any]:
+        """Run sels.shape[0] train steps as ONE device dispatch.
+
+        Requires a PLCDeviceLoader: the per-step batch assembly
+        (loader.sample_fn -- row gathers + on-device loss-trace/Burg
+        dropout sampling) runs inside a lax.scan with the train step, so
+        the dispatch round trip and the ~37 MB/step host batch transfer
+        amortize over the whole block (the per-step host path measured
+        0.96 steps/s through the tunnel). Per-step rng is
+        fold_in(base_key, step) on the traced step counter, so results
+        are block-size invariant. Returns [K]-shaped device metrics.
+        """
+        if not hasattr(self, "_block_step"):
+            sample_fn = loader.sample_fn
+            step_fn = self._step_fn
+            bsh = pmesh.batch_sharding(self.mesh)
+
+            def block(state, feats_d, lost_d, sels, key):
+                def body(state, sel):
+                    batch = sample_fn(feats_d, lost_d, sel,
+                                      jax.random.fold_in(key, state.step))
+                    batch = jax.tree.map(
+                        lambda x: jax.lax.with_sharding_constraint(x, bsh),
+                        batch)
+                    state, metrics = step_fn(state, batch, None)
+                    return state, metrics
+
+                state, ms = jax.lax.scan(body, state, sels)
+                return state, ms
+
+            self._block_step = jax.jit(block, donate_argnums=(0,))
+            self._block_key = jax.random.PRNGKey(4242)
+        if base_key is None:
+            base_key = self._block_key
+        feats_d, lost_d = loader.device_arrays
+        self.state, ms = self._block_step(self.state, feats_d, lost_d,
+                                          jnp.asarray(sels), base_key)
+        return dict(ms)
 
     def fit(self, loader, epochs: Optional[int] = None, log_every: int = 20,
             checkpoint_path: Optional[str] = None, logdir: Optional[str] = None):

@@ -70,3 +70,59 @@ def test_plc_eval_step_and_val_split(tmp_path):
     assert m1["loss"] == m2["loss"], "eval must be deterministic"
     np.testing.assert_array_equal(
         jax.device_get(tr.state.params["plc_gru1"]["kernel"]), p0)
+
+
+def test_plc_device_loader_and_block_path(tmp_path):
+    """PLCDeviceLoader: val batch byte-identical to the host loader,
+    on-device batch assembly obeys the host loader's mask/flag contract,
+    and train_block is block-size invariant (fold_in on the traced step
+    counter), matching the vocoder trainer's guarantee."""
+    from lpcnet_tpu.train.train_plc import PLCDeviceLoader, PLCLoader
+
+    rng = np.random.RandomState(3)
+    n_frames, seq = 320, 16
+    feats = (rng.randn(n_frames, 72) * 0.3).astype(np.float32)
+    fpath, lpath = str(tmp_path / "f.f32"), str(tmp_path / "l.s8")
+    feats.tofile(fpath)
+    (rng.rand(n_frames) > 0.2).astype(np.int8).tofile(lpath)
+
+    tc = PLCTrainConfig(batch_size=2, seq_length=seq)
+    host = PLCLoader(fpath, lpath, tc, val_seqs=4)
+    dev = PLCDeviceLoader(fpath, lpath, tc, val_seqs=4)
+    assert len(dev) == len(host)
+    hv, dv = host.val_batch(), dev.val_batch()
+    for k in hv:
+        np.testing.assert_array_equal(hv[k], dv[k])
+
+    # on-device assembly contract
+    feats_d, lost_d = dev.device_arrays
+    sel = jnp.asarray([0, 3], jnp.int32)
+    b = dev.sample_fn(feats_d, lost_d, sel, jax.random.PRNGKey(7))
+    x = np.asarray(b["plc_input"])
+    f = np.asarray(feats_d)[np.asarray(sel)]
+    flag = x[:, :, 56]
+    lost = np.abs(flag)          # 0 = received-as-lost marker off
+    # flag in {-1, 0, +1}; burg_ok recoverable where lost
+    assert set(np.unique(flag)).issubset({-1.0, 0.0, 1.0})
+    np.testing.assert_array_equal(np.asarray(b["mask"])[:, :, 0], 1.0 - lost)
+    np.testing.assert_allclose(x[:, :, 36:56], f[:, :, 36:56] * lost[:, :, None],
+                               rtol=0, atol=0)
+    burg_ok = (flag + 1.0) / 2.0  # valid where lost == 1
+    exp_burg = f[:, :, :36] * (lost * burg_ok)[:, :, None]
+    np.testing.assert_allclose(x[:, :, :36], exp_burg, rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(b["target"]), f[:, :, 36:])
+
+    # block-size invariance: 1 block of 4 == 2 blocks of 2, bit-exact
+    cfg = PM.PLCConfig(dense1_size=16, gru1_size=24, gru2_size=24)
+    mesh = pmesh.make_mesh(jax.devices("cpu")[:1])
+    sels = np.arange(8, dtype=np.int32).reshape(4, 2) % len(dev.indices)
+    dev.indices = np.arange(dev._n_train)   # deterministic
+    tr1 = PLCTrainer(cfg, tc, mesh=mesh)
+    tr1.train_block(dev, sels)
+    tr2 = PLCTrainer(cfg, tc, mesh=mesh)
+    tr2.train_block(dev, sels[:2])
+    tr2.train_block(dev, sels[2:])
+    p1 = jax.device_get(tr1.state.params)
+    p2 = jax.device_get(tr2.state.params)
+    jax.tree.map(np.testing.assert_array_equal, p1, p2)
+    assert int(tr1.state.step) == 4

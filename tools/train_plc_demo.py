@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--val-seqs", type=int, default=64)
     ap.add_argument("--streams", type=int, default=32,
                     help="dump_data_streams parallelism (1 = sequential)")
+    ap.add_argument("--host-loader", action="store_true",
+                    help="per-step host batch assembly (0.96 steps/s "
+                         "through the tunnel) instead of the device-"
+                         "resident block path")
     args = ap.parse_args()
     outdir = args.outdir
     os.makedirs(outdir, exist_ok=True)
@@ -69,14 +73,16 @@ def main():
             lost[i] = state
         lost.tofile(lpath)
 
-    from lpcnet_tpu.train.train_plc import PLCLoader, PLCTrainConfig, PLCTrainer
+    from lpcnet_tpu.train.train_plc import (PLCDeviceLoader, PLCLoader,
+                                            PLCTrainConfig, PLCTrainer)
     from lpcnet_tpu.train.validation import BestTracker
     from lpcnet_tpu.utils.profiling import MetricsLogger
     from lpcnet_tpu.weights.checkpoint import save_checkpoint
     import jax
 
     tc = PLCTrainConfig(batch_size=args.batch_size, seq_length=args.seq_length)
-    loader = PLCLoader(fpath, lpath, tc, val_seqs=args.val_seqs)
+    loader_cls = PLCLoader if args.host_loader else PLCDeviceLoader
+    loader = loader_cls(fpath, lpath, tc, val_seqs=args.val_seqs)
     print(f"{len(loader)} batches/epoch "
           f"(+{args.val_seqs} held-out val seqs)", flush=True)
     tr = PLCTrainer(tc=tc)
@@ -85,30 +91,54 @@ def main():
     mlog = MetricsLogger(os.path.join(outdir, "metrics.jsonl"))
     step = 0
     t0 = time.time()
-    while step < args.steps:
-        for batch in loader:
-            m = tr.train_step(batch)
-            step += 1
-            mlog.log_async(step=step, **m)
-            if step % 50 == 0:
-                mlog.flush_async()
-                print(f"plc step {step}: loss={float(m['loss']):.4f} "
-                      f"({step / (time.time() - t0):.2f} steps/s)", flush=True)
-            if val is not None and step % args.val_every == 0:
-                vm = tr.eval_step(val)
-                improved = best.update(step, vm)
-                if improved:
-                    save_checkpoint(
-                        os.path.join(outdir, "plc_model_best.npz"),
-                        jax.device_get(tr.state.params))
-                mlog.log_async(step=step, kind="val", **vm)
-                mlog.flush_async()
-                print(f"plc step {step}: VAL loss {vm['loss']:.4f} "
-                      f"(best {best.best:.4f} @ {best.best_step}"
-                      f"{' *' if improved else ''})", flush=True)
-            if step >= args.steps:
-                break
-        loader.on_epoch_end()
+
+    def at_boundaries(step, last_loss):
+        if step % 50 == 0 or not args.host_loader:
+            mlog.flush_async()
+            print(f"plc step {step}: loss={last_loss:.4f} "
+                  f"({step / (time.time() - t0):.2f} steps/s)", flush=True)
+        if val is not None and step % args.val_every == 0:
+            vm = tr.eval_step(val)
+            improved = best.update(step, vm)
+            if improved:
+                save_checkpoint(
+                    os.path.join(outdir, "plc_model_best.npz"),
+                    jax.device_get(tr.state.params))
+            mlog.log_async(step=step, kind="val", **vm)
+            mlog.flush_async()
+            print(f"plc step {step}: VAL loss {vm['loss']:.4f} "
+                  f"(best {best.best:.4f} @ {best.best_step}"
+                  f"{' *' if improved else ''})", flush=True)
+
+    if not args.host_loader:
+        # device-resident block path: BLK (assembly + step) scans/dispatch
+        BLK = max(1, min(50, len(loader)))
+        if args.val_every % BLK:
+            args.val_every = (args.val_every // BLK + 1) * BLK
+            print(f"val_every rounded to {args.val_every} "
+                  f"(device block size {BLK})", flush=True)
+        while step < args.steps:
+            for sels in loader.index_blocks(BLK):
+                ms = tr.train_block(loader, sels)
+                step += BLK
+                mlog.log_async(step=step, **{
+                    k: float(np.mean(np.asarray(v))) for k, v in ms.items()})
+                at_boundaries(step, float(np.asarray(ms["loss"])[-1]))
+                if step >= args.steps:
+                    break
+            loader.on_epoch_end()
+    else:
+        while step < args.steps:
+            for batch in loader:
+                m = tr.train_step(batch)
+                step += 1
+                mlog.log_async(step=step, **m)
+                if step % 50 == 0 or (val is not None
+                                      and step % args.val_every == 0):
+                    at_boundaries(step, float(m["loss"]))
+                if step >= args.steps:
+                    break
+            loader.on_epoch_end()
     mlog.flush_async()
     save_checkpoint(os.path.join(outdir, "plc_model.npz"),
                     jax.device_get(tr.state.params))
