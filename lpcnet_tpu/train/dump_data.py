@@ -115,6 +115,11 @@ def dump_data_streams(speech: np.ndarray, features_out: str,
             noise_stds[s, k] = aug.noise_std
 
     # --- preemphasis + dither, vectorized per stream
+    # keep the augmented pre-preemphasis signal: Burg cepstra are computed
+    # on it (src/dump_data.c:266-271 runs burg BEFORE the preemphasis at
+    # :271-272, and the sequential dump_data above matches); computing them
+    # post-preemphasis gives the PLC features a systematic spectral tilt
+    aug_proc = proc.reshape(streams, -1)
     rng = np.random.RandomState(seed + 1)
     flat = proc.reshape(streams, -1)
     prev = np.concatenate([np.zeros((streams, 1), np.float32),
@@ -149,7 +154,7 @@ def dump_data_streams(speech: np.ndarray, features_out: str,
         burg_rows = np.empty((streams, m, 36), np.float32)
         for s in range(streams):
             burg_rows[s] = np.asarray(burg_cepstral_analysis(
-                jnp.asarray(proc[s].reshape(m, FRAME_SIZE))))
+                jnp.asarray(aug_proc[s].reshape(m, FRAME_SIZE))))
 
     # --- stream-major output; per-stream native noise/teacher loops
     with open(features_out, "wb") as ffeat:

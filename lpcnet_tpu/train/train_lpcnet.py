@@ -301,6 +301,12 @@ class Trainer:
         self._gru_states = full["gru_states"]
         if "ema" in full:
             self._ema = full["ema"]
+        elif self.tc.ema_decay > 0.0:
+            # the restored dict carries no EMA (older checkpoint / EMA-off
+            # run): re-seed from the restored params, else _ema stays an
+            # EMA of the random init and the validator scores a stale
+            # candidate for thousands of steps (decay 0.999)
+            self.reset_ema()
         self._host_step = int(self.state.step)
 
     def fit(self, loader, epochs: Optional[int] = None, log_every: int = 50,

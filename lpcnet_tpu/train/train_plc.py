@@ -216,7 +216,11 @@ class PLCDeviceLoader:
             }
 
         self.sample_fn = sample
-        self._lost_host = lost  # for the host-identical val batch
+        # for the host-identical val batch: truncated exactly like
+        # PLCLoader.__init__ truncates self.lost ((len//t - 1)*t), else the
+        # extra trailing row can shift the same-seed randint draws and break
+        # the byte-identical val contract for some corpus lengths
+        self._lost_host = lost[: (len(lost) // t - 1) * t]
 
     @property
     def device_arrays(self):

@@ -125,3 +125,21 @@ def test_dump_data_streams_structure(tmp_path):
     # sig_out should carry real signal energy (the teacher loop ran)
     sig_out = pairs[1::2].astype(np.float64)
     assert np.sqrt((sig_out ** 2).mean()) > 10.0
+
+
+def test_dump_data_streams_burg_matches_sequential(tmp_path):
+    """Burg cepstra must be computed on the augmented PRE-preemphasis signal
+    in both paths (src/dump_data.c:266-271 runs burg before preemphasis).
+    Stream 0 of dump_data_streams(seed=0) uses AugmentationState(17), so the
+    sequential path with seed=17 reproduces the identical augmentation chain
+    (the dither rngs differ but dither is applied after the burg input)."""
+    from lpcnet_tpu.train.dump_data import dump_data, dump_data_streams
+
+    audio = _clip(5, seconds=2.0)
+    n = len(audio) // 160 * 160
+    burg_seq = dump_data(audio[:n], str(tmp_path / "fs.f32"),
+                         str(tmp_path / "ds.s16"), seed=17, burg=True)
+    burg_str = dump_data_streams(audio[:n], str(tmp_path / "fm.f32"),
+                                 str(tmp_path / "dm.s16"), seed=0, streams=1,
+                                 chunk_frames=50, burg=True)
+    np.testing.assert_allclose(burg_str[0], burg_seq, rtol=0, atol=1e-4)

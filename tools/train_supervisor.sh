@@ -9,6 +9,13 @@
 # (process exits AND the final "saved artifacts" line is in the log) or
 # MAX_RESTARTS is hit.
 #
+# Each launch writes to its OWN log file ($OUTDIR/train.launch<N>.log):
+# the completion sentinel and the stall mtime are checked against the
+# current launch only, so relaunching the supervisor on an outdir whose
+# previous run completed trains instead of exiting immediately, and the
+# supervisor's own writes can't mask a stalled trainer.  train.log stays
+# the combined view (trainer output is tee'd into it).
+#
 # Usage: tools/train_supervisor.sh <outdir> [train_demo args...]
 set -u
 OUTDIR="$1"; shift
@@ -25,15 +32,18 @@ if [ -d "$OUTDIR/orbax" ] && [ -n "$(ls -A "$OUTDIR/orbax" 2>/dev/null)" ]; then
   RESUME="--resume"
 fi
 
+launch_id=$(date +%s)
 while [ "$restarts" -le "$MAX_RESTARTS" ]; do
-  echo "[supervisor] launch #$restarts $(date -u +%H:%M:%S) resume='$RESUME'" >> "$LOG"
-  python tools/train_demo.py --outdir "$OUTDIR" $RESUME "$@" >> "$LOG" 2>&1 &
+  LLOG="$OUTDIR/train.launch${launch_id}.${restarts}.log"
+  : > "$LLOG"
+  echo "[supervisor] launch #$restarts $(date -u +%H:%M:%S) resume='$RESUME' log=$LLOG" >> "$LOG"
+  python tools/train_demo.py --outdir "$OUTDIR" $RESUME "$@" > "$LLOG" 2>&1 &
   pid=$!
   echo "$pid" > "$PIDFILE"
   while kill -0 "$pid" 2>/dev/null; do
     sleep 60
     now=$(date +%s)
-    mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
+    mt=$(stat -c %Y "$LLOG" 2>/dev/null || echo "$now")
     if [ $((now - mt)) -gt "$STALL_S" ]; then
       echo "[supervisor] log stale $((now - mt))s -- killing $pid" >> "$LOG"
       kill "$pid" 2>/dev/null
@@ -43,7 +53,8 @@ while [ "$restarts" -le "$MAX_RESTARTS" ]; do
     fi
   done
   wait "$pid" 2>/dev/null
-  if grep -q "saved artifacts to" "$LOG"; then
+  cat "$LLOG" >> "$LOG"
+  if grep -q "saved artifacts to" "$LLOG"; then
     echo "[supervisor] run complete $(date -u +%H:%M:%S)" >> "$LOG"
     exit 0
   fi
