@@ -602,7 +602,7 @@ def _abl(ablate, name, fn, shape, seed):
 
 def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
                      lpc=None, rng=None, training: bool = True,
-                     gru_states=None, ablate=()):
+                     gru_states=None, ablate=(), noise_std: float = 0.3):
     """Full training graph.
 
     Args:
@@ -646,7 +646,7 @@ def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
                      axis=-1)                                    # [B, T, 3]
     if training and rng is not None:
         rng, k1, k2 = jax.random.split(rng, 3)
-        cpcm = cpcm + 0.3 * jax.random.normal(k1, cpcm.shape)
+        cpcm = cpcm + noise_std * jax.random.normal(k1, cpcm.shape)
     emb = _abl(ablate, "embed",
                lambda: diff_embed(params["embed_sig"]["table"],
                                   cpcm).reshape(b, t, 3 * EMBED_SIZE),

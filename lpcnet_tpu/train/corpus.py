@@ -129,7 +129,18 @@ def _segments(rng, rate):
     return plan
 
 
-def _utterance(rng, speaker):
+def _utterance(rng, speaker, voice=None):
+    """voice (corpus v3): per-speaker stochastic-source parameters --
+    dict(breath, jitter, shimmer, floor). v2 passes None (fixed 0.012
+    aspiration floor, 1.5% jitter, 25% shimmer).
+
+    The v3 source makes the excitation's conditional entropy given the
+    features nonzero: aspiration noise is pitch-synchronously modulated and
+    per-segment scaled, so no deterministic function of (cepstrum, pitch,
+    corr) reproduces the waveform. This attacks the round-4 diagnosis that
+    free-running quality plateaus because the pdf over-sharpens on a
+    near-deterministic synthetic excitation (the reference trains on real
+    speech whose source is irreducibly stochastic, README.md:103-118)."""
     f0_base, fscale, rate, loud = speaker
     plan = _segments(rng, rate)
     n = sum(d for _, d in plan)
@@ -168,26 +179,43 @@ def _utterance(rng, speaker):
     f0t = f0_base * decl * (1 + acc)
     phase = np.cumsum(f0t / FS)
     pulse_idx = np.flatnonzero(np.diff(np.floor(phase), prepend=0.0) > 0)
-    # jitter: shift each pulse by up to +-1.5% of the period; shimmer: +-25%
+    jit = 0.015 if voice is None else voice["jitter"]
+    shim = 0.25 if voice is None else voice["shimmer"]
+    # jitter: shift each pulse by a fraction of the period; shimmer: per-
+    # pulse amplitude variation
     if len(pulse_idx):
         period = FS / f0t[pulse_idx]
         pulse_idx = np.clip(
-            pulse_idx + np.round(period * 0.015 * rng.randn(len(pulse_idx))
+            pulse_idx + np.round(period * jit * rng.randn(len(pulse_idx))
                                  ).astype(int), 0, n - 1)
     voiced_src = np.zeros(n)
-    voiced_src[pulse_idx] = 1.0 + 0.25 * rng.randn(len(pulse_idx))
+    voiced_src[pulse_idx] = 1.0 + shim * rng.randn(len(pulse_idx))
     # glottal shaping: -12 dB/oct via two one-pole lowpasses + tilt noise
     voiced_src = lfilter([1.0], [1.0, -0.9], voiced_src)
     voiced_src = lfilter([1.0], [1.0, -0.7], voiced_src)
-    voiced_src += 0.012 * rng.randn(n)          # aspiration floor
+    if voice is None:
+        voiced_src += 0.012 * rng.randn(n)      # v2: fixed aspiration floor
+        asp_profile = None
+    else:
+        # v3 stochastic source: pitch-synchronous aspiration (stronger in
+        # the open phase of the glottal cycle) at a per-speaker breathiness
+        # level; the noise itself is added after the segment loop, scaled
+        # by the per-segment floor envelope
+        open_phase = phase - np.floor(phase)          # 0..1 within cycle
+        asp_profile = voice["breath"] * (0.45 + 1.1 * open_phase)
 
     # --- per-segment source gating / consonant sources
     v_env = np.zeros(n)
     fric_out = np.zeros(n)
+    asp_env = np.ones(n)
     pos = 0
     for kind, dur in plan:
         seg = slice(pos, pos + dur)
         edge = int(0.012 * FS)
+        if voice is not None:
+            # v3 per-segment noise floor: each segment's aspiration level
+            # varies ~0.45x-2.2x (log-uniform) around the speaker level
+            asp_env[seg] = np.exp(rng.uniform(-0.8, 0.8))
         if kind == "vowel":
             v_env[seg] = _ramp(dur, edge, edge)
         elif kind == "nasal":
@@ -210,6 +238,8 @@ def _utterance(rng, speaker):
             fric_out[b0:pos + dur] = (0.25 + 0.3 * rng.rand()) * spec * benv
         pos += dur
 
+    if asp_profile is not None:
+        voiced_src = voiced_src + asp_profile * asp_env * rng.randn(n)
     voiced = _formant_cascade(voiced_src * v_env, tracks)
     # balance consonant noise against the vowels by RMS over active spans
     # (peak-based scaling lets one burst spike crush the whole utterance)
@@ -226,15 +256,26 @@ def _utterance(rng, speaker):
     return out, vr
 
 
-def synth_corpus(seconds: float, seed: int = 0) -> np.ndarray:
+def synth_corpus(seconds: float, seed: int = 0, version: int = 2
+                 ) -> np.ndarray:
     """Generate `seconds` of 16 kHz int16 pseudo-speech (peak ~9000, the
     same headroom the round-1 generator used so dump_data's gain/noise
-    augmentation ranges stay appropriate)."""
+    augmentation ranges stay appropriate).
+
+    version=2: the round-2 deterministic-source generator (kept bit-exact
+    for comparability with models validated on v2 clips).
+    version=3: stochastic excitation -- per-speaker breathiness with
+    pitch-synchronous aspiration, wider jitter/shimmer ranges, per-segment
+    noise floors, and a low room-tone floor, so the excitation carries
+    irreducible entropy given the features (the round-4 exposure-bias
+    diagnosis: a pdf trained on deterministic excitation over-sharpens and
+    free-running sampling errors compound through the LPC feedback)."""
     rng = np.random.RandomState(seed)
     total = int(seconds * FS)
     out = np.zeros(total + FS * 8, np.float64)
     pos = 0
     speaker = None
+    voice = None
     utt_left = 0
     while pos < total:
         if utt_left <= 0:
@@ -242,14 +283,27 @@ def synth_corpus(seconds: float, seed: int = 0) -> np.ndarray:
                        0.88 + 0.27 * rng.rand(),          # formant scale
                        0.8 + 0.5 * rng.rand(),            # speaking rate
                        0.5 + 0.5 * rng.rand())            # loudness
+            if version >= 3:
+                voice = {
+                    # log-uniform breathiness: modal (~35 dB HNR) to
+                    # breathy (~15 dB HNR); real speech sits ~10-30 dB
+                    "breath": float(np.exp(rng.uniform(np.log(0.02),
+                                                       np.log(0.2)))),
+                    "jitter": 0.005 + 0.035 * rng.rand(),
+                    "shimmer": 0.10 + 0.35 * rng.rand(),
+                }
             utt_left = rng.randint(3, 9)
-        utt, vrms = _utterance(rng, speaker)
+        utt, vrms = _utterance(rng, speaker, voice=voice)
         utt_left -= 1
         # level by voiced RMS (peak scaling lets burst spikes crush speech)
         out[pos:pos + len(utt)] = utt / max(vrms, 1e-9) * (
             1200 + 1800 * rng.rand())
         pos += len(utt) + int(FS * (0.1 + 0.35 * rng.rand()))
     out = out[:total]
+    if version >= 3:
+        # room tone: low white floor (~45-55 dB below speech) keeps the
+        # excitation stochastic through pauses and closures too
+        out = out + (1.5 + 4.5 * rng.rand()) * rng.randn(total)
     # headroom off a high percentile, then clip the few burst spikes
     ref = np.percentile(np.abs(out), 99.9) + 1e-9
     return np.round(np.clip(out / ref * 8000, -9500, 9500)).astype(np.int16)

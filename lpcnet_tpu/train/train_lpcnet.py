@@ -44,6 +44,13 @@ class TrainConfig:
     grub_density: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     schedule_scale: float = 1.0   # compresses sparsify/quantize schedules
     ema_decay: float = 0.0        # >0 keeps an EMA of params for eval/ship
+    # scheduled sampling: per-sample probability that the u-law signal
+    # history fed to the network is the model's OWN sampled output instead
+    # of ground truth (train/scheduled.py; 0 = pure teacher forcing)
+    ss_prob: float = 0.0
+    # std of the Gaussian noise on the u-law (sig, pred, exc) inputs; 0.3
+    # is the reference's GaussianNoise(.3) (training_tf2/lpcnet.py:264)
+    input_noise: float = 0.3
 
     @property
     def chunk_samples(self) -> int:
@@ -67,9 +74,21 @@ def make_optimizer(tc: TrainConfig):
 
 def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng,
             gru_states=None):
+    sig_in = batch["sig_in"]
+    if tc.ss_prob > 0.0:          # static at trace time
+        from .scheduled import mixed_history, sampled_signal
+        rng, k_mask, k_samp = jax.random.split(rng, 3)
+        tf_mask = jax.random.bernoulli(
+            k_mask, 1.0 - tc.ss_prob, sig_in.shape)
+        weighting = jnp.power(jnp.float32(cfg.lpc_gamma),
+                              jnp.arange(1, 17, dtype=jnp.float32))
+        s_hat = sampled_signal(params, cfg, batch, tf_mask, k_samp,
+                               gru_states=gru_states, weighting=weighting)
+        sig_in = mixed_history(sig_in, s_hat, tf_mask)
     out = M.training_forward(
-        params, cfg, batch["sig_in"], batch["features"], batch["periods"],
-        lpc=batch.get("lpc"), rng=rng, training=True, gru_states=gru_states)
+        params, cfg, sig_in, batch["features"], batch["periods"],
+        lpc=batch.get("lpc"), rng=rng, training=True, gru_states=gru_states,
+        noise_std=tc.input_noise)
     cel = jnp.mean(LL.metric_cel_tree(batch["sig_out"], out["tensor_preds"],
                                       out["tree_probs"]))
     if cfg.e2e:

@@ -18,9 +18,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synth_corpus(seconds: float, seed: int = 0) -> np.ndarray:
+def synth_corpus(seconds: float, seed: int = 0, version: int = 2) -> np.ndarray:
     from lpcnet_tpu.train.corpus import synth_corpus as gen
-    return gen(seconds, seed=seed)
+    return gen(seconds, seed=seed, version=version)
 
 
 def main():
@@ -43,6 +43,10 @@ def main():
                     help="quantize-finetune mode (requires --init-from)")
     ap.add_argument("--schedule-scale", type=float, default=1.0,
                     help="compress the sparsify/quantize schedules")
+    ap.add_argument("--corpus-version", type=int, default=2,
+                    help="synth_corpus generator version for BOTH training "
+                         "shards and validation clips (3 = stochastic "
+                         "excitation)")
     ap.add_argument("--corpus-seeds", default="0",
                     help="comma list of synth_corpus shard seeds, or 'N' "
                          "(bare int) for seeds 0..N-1")
@@ -78,6 +82,13 @@ def main():
                          "need a decayed lr, not lr0 -- NOTES.md 08-19)")
     ap.add_argument("--decay", type=float, default=None,
                     help="override TrainConfig.decay (1/(1+decay*t))")
+    ap.add_argument("--ss-prob", type=float, default=0.0,
+                    help="scheduled-sampling probability: per-sample chance "
+                         "the signal history is the model's OWN sampled "
+                         "output (train/scheduled.py; 0 = teacher forcing)")
+    ap.add_argument("--input-noise", type=float, default=0.3,
+                    help="std of the Gaussian noise on the u-law "
+                         "(sig,pred,exc) inputs (reference: 0.3)")
     ap.add_argument("--host-loader", action="store_true",
                     help="use the host memmap loader instead of the "
                          "device-resident one (for datasets too big for HBM)")
@@ -97,7 +108,8 @@ def main():
         print(f"generating corpus ({len(seeds)} shard(s))...", flush=True)
         t0 = time.time()
         speech = np.concatenate(
-            [synth_corpus(args.seconds / len(seeds), seed=s) for s in seeds])
+            [synth_corpus(args.seconds / len(seeds), seed=s,
+                          version=args.corpus_version) for s in seeds])
         speech.tofile(os.path.join(datadir, "corpus.s16"))
         print(f"corpus: {time.time() - t0:.1f}s for {args.seconds:.0f}s",
               flush=True)
@@ -125,6 +137,7 @@ def main():
     tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize,
                      schedule_scale=args.schedule_scale,
                      ema_decay=ema_decay,
+                     ss_prob=args.ss_prob, input_noise=args.input_noise,
                      **({"density": tuple(args.density_split)}
                         if args.density_split else {}),
                      **({"lr": args.lr} if args.lr else {}),
@@ -167,7 +180,9 @@ def main():
     if args.val_every:
         from lpcnet_tpu.train.validation import BestTracker, HeldOutValidator
         val_seeds = [int(s) for s in args.val_seeds.split(",")]
-        clips = [synth_corpus(args.val_seconds, seed=s) for s in val_seeds]
+        clips = [synth_corpus(args.val_seconds, seed=s,
+                              version=args.corpus_version)
+                 for s in val_seeds]
         validator = HeldOutValidator(cfg, clips)
         best = BestTracker()
         print(f"validator: {len(clips)} held-out clips "
