@@ -23,7 +23,7 @@ def _env_flag(name: str) -> bool:
 
 
 def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
-                    kernel: str = "scan"):
+                    kernel: str = "scan", return_all: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -79,11 +79,14 @@ def bench_synthesis(batch: int, n_frames: int, warmup_frames: int = 8,
         np.asarray(pcm[0, :4])     # hard sync: waits for the whole chain
         dt = time.perf_counter() - t0
         rates.append(batch * n_frames * 160 / dt)
+    if return_all:
+        return rates
     rates.sort()
     return rates[len(rates) // 2]
 
 
-def bench_encode(batch: int, n_super: int, warmup: int = 3):
+def bench_encode(batch: int, n_super: int, warmup: int = 3,
+                 return_all: bool = False):
     """Feature extraction + full quantization throughput (superframes/s)."""
     import jax
     import jax.numpy as jnp
@@ -100,15 +103,23 @@ def bench_encode(batch: int, n_super: int, warmup: int = 3):
     for _ in range(warmup):
         state, feats, fields = step(state, pcm, cbs)
     np.asarray(fields["c0_id"])
-    t0 = time.perf_counter()
-    for _ in range(n_super):
-        state, feats, fields = step(state, pcm, cbs)
-    np.asarray(fields["c0_id"])   # hard sync
-    dt = time.perf_counter() - t0
-    return batch * n_super * 640 / dt          # input samples/s
+    repeats = int(os.environ.get("LPCNET_BENCH_REPEATS", "1"))
+    rates = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        for _ in range(n_super):
+            state, feats, fields = step(state, pcm, cbs)
+        np.asarray(fields["c0_id"])   # hard sync
+        dt = time.perf_counter() - t0
+        rates.append(batch * n_super * 640 / dt)   # input samples/s
+    if return_all:
+        return rates
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
-def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
+def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1,
+              return_all: bool = False):
     """Mixed-loss batched PLC throughput (every stream its own pattern)."""
     import jax
 
@@ -146,16 +157,23 @@ def bench_plc(batch: int, n_frames: int, warmup: int = 4, loss_rate=0.1):
     jax.block_until_ready((frames_w, frames_t, losses_w, losses_t))
     wo = plc.run(frames_w, losses_w, chunk=chunk, device_out=True)
     np.asarray(wo[-1][0, -1, :4])   # also warms the slice-fetch executable
-    t0 = time.perf_counter()
-    # keep outputs on device; sync via a host fetch of the last chunk's
-    # final samples (same timing barrier as the synthesis bench -- output
-    # transfer is not part of the workload, matching how the scan/pallas
-    # synthesis benches are measured)
-    outs = plc.run(frames_t, losses_t, chunk=chunk, device_out=True)
-    np.asarray(outs[-1][0, -1, :4])
-    dt = time.perf_counter() - t0
-    assert sum(o.shape[1] for o in outs) == n_frames
-    return batch * n_frames * 160 / dt
+    repeats = int(os.environ.get("LPCNET_BENCH_REPEATS", "1"))
+    rates = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        # keep outputs on device; sync via a host fetch of the last chunk's
+        # final samples (same timing barrier as the synthesis bench -- output
+        # transfer is not part of the workload, matching how the scan/pallas
+        # synthesis benches are measured)
+        outs = plc.run(frames_t, losses_t, chunk=chunk, device_out=True)
+        np.asarray(outs[-1][0, -1, :4])
+        dt = time.perf_counter() - t0
+        assert sum(o.shape[1] for o in outs) == n_frames
+        rates.append(batch * n_frames * 160 / dt)
+    if return_all:
+        return rates
+    rates.sort()
+    return rates[len(rates) // 2]
 
 
 def bench_dred(batch: int, n_dframes: int, warmup: int = 4):

@@ -44,10 +44,16 @@ class TrainConfig:
     grub_density: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     schedule_scale: float = 1.0   # compresses sparsify/quantize schedules
     ema_decay: float = 0.0        # >0 keeps an EMA of params for eval/ship
-    # scheduled sampling: per-sample probability that the u-law signal
-    # history fed to the network is the model's OWN sampled output instead
-    # of ground truth (train/scheduled.py; 0 = pure teacher forcing)
+    # scheduled sampling: probability that the u-law signal history fed to
+    # the network is the model's OWN sampled output instead of ground truth
+    # (train/scheduled.py; 0 = pure teacher forcing)
     ss_prob: float = 0.0
+    # the Bernoulli TF/free-run decision is drawn per ss_block samples (1 =
+    # iid per sample). Per-sample draws give mean own-feedback runs of only
+    # 1/(1-p) samples; exposure bias compounds over longer horizons, so
+    # block draws (e.g. 16 -> mean run p*16/(1-p)… samples) exercise real
+    # error accumulation while TF blocks resync the trajectory
+    ss_block: int = 16
     # std of the Gaussian noise on the u-law (sig, pred, exc) inputs; 0.3
     # is the reference's GaussianNoise(.3) (training_tf2/lpcnet.py:264)
     input_noise: float = 0.3
@@ -78,8 +84,11 @@ def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng,
     if tc.ss_prob > 0.0:          # static at trace time
         from .scheduled import mixed_history, sampled_signal
         rng, k_mask, k_samp = jax.random.split(rng, 3)
-        tf_mask = jax.random.bernoulli(
-            k_mask, 1.0 - tc.ss_prob, sig_in.shape)
+        b, t = sig_in.shape
+        blk = max(1, tc.ss_block)
+        tf_mask = jnp.repeat(jax.random.bernoulli(
+            k_mask, 1.0 - tc.ss_prob, (b, (t + blk - 1) // blk)),
+            blk, axis=1)[:, :t]
         weighting = jnp.power(jnp.float32(cfg.lpc_gamma),
                               jnp.arange(1, 17, dtype=jnp.float32))
         s_hat = sampled_signal(params, cfg, batch, tf_mask, k_samp,

@@ -86,6 +86,8 @@ def main():
                     help="scheduled-sampling probability: per-sample chance "
                          "the signal history is the model's OWN sampled "
                          "output (train/scheduled.py; 0 = teacher forcing)")
+    ap.add_argument("--ss-block", type=int, default=16,
+                    help="samples per scheduled-sampling Bernoulli draw")
     ap.add_argument("--input-noise", type=float, default=0.3,
                     help="std of the Gaussian noise on the u-law "
                          "(sig,pred,exc) inputs (reference: 0.3)")
@@ -137,7 +139,8 @@ def main():
     tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize,
                      schedule_scale=args.schedule_scale,
                      ema_decay=ema_decay,
-                     ss_prob=args.ss_prob, input_noise=args.input_noise,
+                     ss_prob=args.ss_prob, ss_block=args.ss_block,
+                     input_noise=args.input_noise,
                      **({"density": tuple(args.density_split)}
                         if args.density_split else {}),
                      **({"lr": args.lr} if args.lr else {}),
