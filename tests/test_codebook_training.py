@@ -49,6 +49,7 @@ def test_trained_beats_random_init():
     assert np.isfinite(trained["stage_mse"]) and trained["stage_mse"] > 0
 
 
+@pytest.mark.slow  # gate budget: training-quality property, not a correctness gate
 def test_mbest_refine_does_not_hurt():
     feats = _synthetic_features(n=3000, seed=2)
     cb0 = cbm.train_codebooks(feats, stage_codes=16, diff_codes=16,

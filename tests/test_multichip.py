@@ -62,6 +62,7 @@ def test_sharded_synthesis():
     np.testing.assert_allclose(np.asarray(pcm), np.asarray(pcm_ref), atol=1.0)
 
 
+@pytest.mark.slow  # gate budget: sharded serving covered by test_sharded_synthesis_matches_single
 def test_sharded_int8_synthesis():
     """The int8 quantized inference path under batch sharding: int8 weight
     tables replicate; the int8 matmuls stay per-chip."""

@@ -263,6 +263,7 @@ def test_tf_blocks_matches_sequential_prefix_calls():
                                   np.asarray(s_seq.deemph))
 
 
+@pytest.mark.slow  # gate budget: v2/v3 are recorded-negative ablation variants
 @pytest.mark.parametrize("q8", [False, True])
 def test_bit_tree_v2_v3_bit_identical(monkeypatch, q8):
     """LPCNET_BITTREE v1/v2/v3 must produce BIT-identical synthesis: v2/v3
@@ -365,6 +366,7 @@ def test_pallas_q8_factored_close_to_quantized_scan():
     assert np.array_equal(np.asarray(s_pal.rng.z), np.asarray(s_scan.rng.z))
 
 
+@pytest.mark.slow  # gate budget: non-default LPCNET_EMB=factored variant
 def test_tf_blocks_factored_close_to_composed():
     """The factored-embedding TF kernel: teacher-forced GRU states must
     track the composed-embedding bundle within the double-quantization

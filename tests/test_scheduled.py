@@ -107,7 +107,8 @@ def test_mixed_history_rule():
 def test_loss_fn_ss_finite_and_differs():
     cfg = tiny_cfg()
     rng = np.random.RandomState(4)
-    batch = {k: jnp.asarray(v) for k, v in fake_batch(rng).items()}
+    batch = {k: jnp.asarray(v)
+             for k, v in fake_batch(rng, b=2, frames=2).items()}
     params = M.init_params(jax.random.PRNGKey(0), cfg)
     key = jax.random.PRNGKey(5)
     l0, _ = loss_fn(params, cfg, TrainConfig(ss_prob=0.0), batch, key)

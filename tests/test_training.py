@@ -129,6 +129,7 @@ def test_training_loss_decreases():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow  # gate budget: test_multichip::test_sharded_train_block covers the DP path
 def test_training_multidevice_sharded():
     cfg = tiny_cfg()
     tc = TrainConfig(batch_size=8, chunk_frames=3)
@@ -340,6 +341,7 @@ def test_loader_holdout_split(tmp_path):
     assert m == m2, "eval_loss must be deterministic"
 
 
+@pytest.mark.slow  # gate budget: invariance property, covered per-release not per-commit
 def test_train_block_size_invariant(tmp_path):
     """train_block scans (gather + step) on device; the per-step rng is
     fold_in(key, step-counter), so 1 block of 4 steps must produce params
