@@ -39,14 +39,35 @@ class RDOVAEDataset:
     """Feature-file dataset with per-sequence lambda/q sampling."""
 
     def __init__(self, feature_path: str, tc: RDOVAETrainConfig,
-                 cfg: RV.RDOVAEConfig, num_features: int = 36, seed: int = 0):
+                 cfg: RV.RDOVAEConfig, num_features: int = 36, seed: int = 0,
+                 val_seqs: int = 0):
         feats = np.fromfile(feature_path, dtype=np.float32).reshape(-1, num_features)
         self.features = feats[:, : cfg.num_features]
         self.tc = tc
         self.cfg = cfg
-        self.num_sequences = self.features.shape[0] // tc.sequence_length
+        nseq = self.features.shape[0] // tc.sequence_length
+        # the LAST val_seqs sequences are held out of training entirely
+        self.num_sequences = nseq - val_seqs
+        self._val_range = (self.num_sequences, nseq) if val_seqs else None
         self.denominator = (cfg.quant_levels - 1) / np.log(tc.lambda_max / tc.lambda_min)
         self._rng = np.random.RandomState(seed)
+
+    def val_batch(self, q: int) -> Optional[Dict[str, np.ndarray]]:
+        """The held-out sequences at a FIXED quant level q (deterministic:
+        the same batch every call, so val curves are step-comparable and
+        rate-distortion points across q are measured on identical data)."""
+        if self._val_range is None:
+            return None
+        lo, hi = self._val_range
+        sl = self.tc.sequence_length
+        feats = np.stack([self.features[s * sl:(s + 1) * sl]
+                          for s in range(lo, hi)])
+        bs = feats.shape[0]
+        q_ids = np.full((bs, sl // self.cfg.enc_frames_per_step), q)
+        lam = self.tc.lambda_min * np.exp(q_ids / self.denominator)
+        return {"features": feats.astype(np.float32),
+                "rate_lambda": lam.astype(np.float32),
+                "q_ids": q_ids.astype(np.int32)}
 
     def __len__(self):
         return max(self.num_sequences // self.tc.batch_size, 0)
@@ -117,7 +138,23 @@ class RDOVAETrainer:
             return RDOVAETrainState(params, opt_state, state.step + 1), metrics
 
         self._step = jax.jit(step_fn, donate_argnums=(0,))
+
+        def eval_fn(params, batch):
+            _, metrics = RV.rdovae_loss(
+                params, batch["features"], batch["rate_lambda"],
+                batch["q_ids"], jax.random.PRNGKey(0), self.cfg, 0.0)
+            return metrics
+
+        self._eval = jax.jit(eval_fn)
         self.state = jax.device_put(self.state, pmesh.replicated(self.mesh))
+
+    def eval_step(self, batch, params=None) -> Dict[str, float]:
+        """Loss metrics on a held-out batch, no update, deterministic rng
+        (soft-quant noise fixed) -- step-comparable val curves."""
+        params = self.state.params if params is None else params
+        batch = pmesh.shard_batch(self.mesh, {k: jnp.asarray(v)
+                                              for k, v in batch.items()})
+        return {k: float(v) for k, v in self._eval(params, batch).items()}
 
     def train_step(self, batch: Dict[str, np.ndarray], rng) -> Dict[str, float]:
         batch = pmesh.shard_batch(self.mesh, {k: jnp.asarray(v)

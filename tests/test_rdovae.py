@@ -110,3 +110,32 @@ def test_dred_coder_roundtrip():
     feats = dec.decode_all(payload["zq"], payload["q_ids"], payload["state"])
     assert feats.shape == (2, 16, 20)
     assert np.isfinite(feats).all()
+
+
+def test_dataset_val_split_and_batches(tmp_path):
+    """val_batch is deterministic, excluded from training iteration, and
+    spans the full quant grid with monotone lambda."""
+    import os
+    from lpcnet_tpu.models import rdovae as RV
+    from lpcnet_tpu.train.train_rdovae import RDOVAEDataset, RDOVAETrainConfig
+
+    rng = np.random.RandomState(0)
+    cfg = RV.RDOVAEConfig()
+    tc = RDOVAETrainConfig(batch_size=2, sequence_length=8)
+    feats = rng.randn(8 * 10, 36).astype(np.float32)
+    p = str(tmp_path / "f.f32")
+    feats.tofile(p)
+    ds = RDOVAEDataset(p, tc, cfg, val_seqs=3)
+    assert ds.num_sequences == 7
+    vb0 = ds.val_batch(4)
+    vb1 = ds.val_batch(4)
+    np.testing.assert_array_equal(vb0["features"], vb1["features"])
+    assert vb0["features"].shape[0] == 3
+    # training iteration never touches the held-out rows
+    val_rows = feats[7 * 8:, :cfg.num_features]
+    for batch in ds:
+        for seq in batch["features"]:
+            assert not np.isin(seq[:, 0], val_rows[:, 0]).any()
+    lam4 = ds.val_batch(4)["rate_lambda"][0, 0]
+    lam12 = ds.val_batch(12)["rate_lambda"][0, 0]
+    assert lam12 > lam4

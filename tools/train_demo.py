@@ -82,6 +82,10 @@ def main():
                          "need a decayed lr, not lr0 -- NOTES.md 08-19)")
     ap.add_argument("--decay", type=float, default=None,
                     help="override TrainConfig.decay (1/(1+decay*t))")
+    ap.add_argument("--end2end", action="store_true",
+                    help="train the END2END variant (differentiable-LPC rc "
+                         "head; src/lpcnet.c:56-80, lossfuncs.py:25-43)")
+    ap.add_argument("--lpc-gamma", type=float, default=1.0)
     ap.add_argument("--ss-prob", type=float, default=0.0,
                     help="scheduled-sampling probability: per-sample chance "
                          "the signal history is the model's OWN sampled "
@@ -134,7 +138,8 @@ def main():
     from lpcnet_tpu.weights.checkpoint import load_checkpoint, save_checkpoint
     from lpcnet_tpu.weights.lpcnet_arrays import save_lpcnet_blob
 
-    cfg = LPCNetConfig(rnn_units1=args.grua_size)
+    cfg = LPCNetConfig(rnn_units1=args.grua_size, e2e=args.end2end,
+                       lpc_gamma=args.lpc_gamma)
     ema_decay = 0.0 if args.quantize else args.ema
     tc = TrainConfig(batch_size=args.batch_size, quantize=args.quantize,
                      schedule_scale=args.schedule_scale,
@@ -148,7 +153,7 @@ def main():
                         if args.decay is not None else {}))
     loader_cls = LPCNetLoader if args.host_loader else DeviceLPCNetLoader
     loader = loader_cls(dpath, fpath, batch_size=args.batch_size,
-                        holdout_batches=args.val_holdout)
+                        holdout_batches=args.val_holdout, e2e=args.end2end)
     print(f"{len(loader)} batches/epoch", flush=True)
     trainer = Trainer(cfg, tc)
     if args.init_from:
