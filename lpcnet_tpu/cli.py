@@ -53,7 +53,11 @@ def main(argv=None):
                                      "fec-encode"])
     ap.add_argument("args", nargs="+")
     ap.add_argument("--model", default=None,
-                    help="model weights (.npz checkpoint or DNNw .bin blob)")
+                    help="model weights (.npz checkpoint or DNNw .bin "
+                         "blob); default = the shipped demo vocoder, like "
+                         "the reference lpcnet_demo's built-in nnet_data "
+                         "(src/lpcnet_demo.c:43-56); pass 'random' for "
+                         "deterministic random-init smoke weights")
     ap.add_argument("--batch", type=int, default=1,
                     help="process the file as B interleaved independent streams")
     ap.add_argument("--sampling", choices=["tree", "pdf"], default="tree",
@@ -77,6 +81,23 @@ def main(argv=None):
                     help="fec-encode: skip the SILK delay / zero-history "
                          "padding (raw per-frame packets)")
     ns = ap.parse_args(argv)
+
+    # the reference demo always runs its built-in model data; mirror that
+    # by defaulting the vocoder model to the shipped demo checkpoint
+    # ("random" keeps the old deterministic smoke-test init)
+    vocoder_default = (ns.mode in ("decode", "synthesis")
+                       # the shipped demo vocoder has lookahead=2; the
+                       # non-causal PLC modes require a lookahead-0 model
+                       or (ns.mode == "plc"
+                           and ns.args[0].startswith("causal")))
+    if ns.model is None and vocoder_default:
+        import os as _os
+        demo = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "data", "demo_model.npz")
+        if _os.path.exists(demo):
+            ns.model = demo
+    elif ns.model == "random":
+        ns.model = None
 
     if ns.mode == "encode":
         pcm = _read_pcm(ns.args[0])

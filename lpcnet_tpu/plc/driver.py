@@ -111,7 +111,7 @@ def run_plc_fec_stream(plc: PLC, pcm: np.ndarray, losses: np.ndarray,
 
 
 def run_plc_file(options: str, percent_or_file: str, in_path: str,
-                 out_path: str, model_path=None):
+                 out_path: str, model_path=None, plc_model_path=None):
     pcm = np.fromfile(in_path, dtype=np.int16)
     n_packets = len(pcm) // (2 * FRAME_SIZE) + 1
     try:
@@ -120,7 +120,15 @@ def run_plc_file(options: str, percent_or_file: str, in_path: str,
         losses = (rng.rand(n_packets) < percent / 100.0).astype(np.int32)
     except ValueError:
         losses = np.loadtxt(percent_or_file, dtype=np.int32).reshape(-1)
-    plc = make_plc(options, model_path=model_path)
+    if plc_model_path is None:
+        # mirror the reference demo's built-in plc_data default
+        import os as _os
+        demo = _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "data", "demo_plc_model.npz")
+        if _os.path.exists(demo):
+            plc_model_path = demo
+    plc = make_plc(options, model_path=model_path,
+                   plc_model_path=plc_model_path)
     out = run_plc_stream(plc, pcm, losses)
     out.astype(np.int16).tofile(out_path)
     print(f"plc: {len(pcm)//320} packets, {int(losses[:len(pcm)//320].sum())} lost")
