@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--val-seqs", type=int, default=64)
     ap.add_argument("--streams", type=int, default=32,
                     help="dump_data_streams parallelism (1 = sequential)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="loader + trainer init seed (sweepable: PLC runs "
+                         "are cheap and run-to-run spread is real)")
     ap.add_argument("--host-loader", action="store_true",
                     help="per-step host batch assembly (0.96 steps/s "
                          "through the tunnel) instead of the device-"
@@ -82,10 +85,11 @@ def main():
 
     tc = PLCTrainConfig(batch_size=args.batch_size, seq_length=args.seq_length)
     loader_cls = PLCLoader if args.host_loader else PLCDeviceLoader
-    loader = loader_cls(fpath, lpath, tc, val_seqs=args.val_seqs)
+    loader = loader_cls(fpath, lpath, tc, seed=args.seed,
+                        val_seqs=args.val_seqs)
     print(f"{len(loader)} batches/epoch "
           f"(+{args.val_seqs} held-out val seqs)", flush=True)
-    tr = PLCTrainer(tc=tc)
+    tr = PLCTrainer(tc=tc, seed=args.seed)
     val = loader.val_batch()
     best = BestTracker(metric="loss")
     mlog = MetricsLogger(os.path.join(outdir, "metrics.jsonl"))
