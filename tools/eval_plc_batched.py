@@ -34,6 +34,58 @@ def burst_losses(n_packets: int, seed: int = 3) -> np.ndarray:
     return losses
 
 
+class ConcealmentValidator:
+    """In-training-loop concealment eval: score PLC params by the
+    DEPLOYMENT metric (band-LSD over concealed packets, batched PLC run
+    over held-out clips) instead of the masked feature loss -- the round-5
+    sweep showed val loss does not rank concealment across runs.
+
+    One BatchedPLC instance is built per vocoder model and reused; params
+    ride as jit arguments so re-evaluating new checkpoints costs no
+    recompile.  Use selection clips DISJOINT from the final eval suite
+    (selection bias).
+    """
+
+    def __init__(self, clips, model_path="lpcnet_tpu/data/demo_model.npz",
+                 seconds: float = 6.0, seed: int = 3):
+        import jax.numpy as jnp
+        from lpcnet_tpu.api import load_model
+        from lpcnet_tpu.models import plc as PM
+        from lpcnet_tpu.plc.batched import BatchedPLC
+
+        n = int(seconds * 16000) // 320 * 320
+        pcms = []
+        for c in clips:
+            x = (np.fromfile(c, np.int16) if isinstance(c, str)
+                 else np.asarray(c, np.int16))[:n].astype(np.float32)
+            assert len(x) == n
+            pcms.append(x)
+        self.pcm = np.stack(pcms)
+        b = self.pcm.shape[0]
+        self.losses_pkt = np.stack(
+            [burst_losses(n // 320, seed=seed) for _ in range(b)])
+        self._lost_frames = jnp.asarray(
+            np.repeat(self.losses_pkt, 2, axis=1).astype(bool))
+        self._frames = jnp.asarray(self.pcm.reshape(b, -1, 160))
+        fused, cfg = load_model(model_path)
+        self._plc = BatchedPLC(fused, cfg, PM.init_params(
+            __import__("jax").random.PRNGKey(0)), batch=b)
+        self._init_state = self._plc.state
+        self._mask = np.repeat(self.losses_pkt.astype(bool), 320, axis=1)
+
+    def evaluate(self, plc_params) -> float:
+        """Mean concealment band-LSD (dB, lower better) over the clips."""
+        from lpcnet_tpu.utils.quality import quality_metrics
+        self._plc.plc_params = plc_params
+        self._plc.state = self._init_state
+        out = self._plc.run(self._frames, self._lost_frames, chunk=25)
+        out = out.reshape(self.pcm.shape[0], -1)
+        vals = [quality_metrics(self.pcm[i][self._mask[i]],
+                                out[i][self._mask[i]])["band_lsd_db"]
+                for i in range(self.pcm.shape[0])]
+        return float(np.mean(vals))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", nargs="+",

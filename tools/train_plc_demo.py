@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--val-seqs", type=int, default=64)
     ap.add_argument("--streams", type=int, default=32,
                     help="dump_data_streams parallelism (1 = sequential)")
+    ap.add_argument("--conceal-val-seeds", default="",
+                    help="comma list of synth_corpus seeds; when set, "
+                         "best-checkpoint selection uses the batched "
+                         "concealment band-LSD on these clips (the "
+                         "deployment metric; round-5 sweep showed masked "
+                         "val loss does not rank concealment) -- keep "
+                         "DISJOINT from the final eval suite")
     ap.add_argument("--seed", type=int, default=0,
                     help="loader + trainer init seed (sweepable: PLC runs "
                          "are cheap and run-to-run spread is real)")
@@ -91,7 +98,15 @@ def main():
           f"(+{args.val_seqs} held-out val seqs)", flush=True)
     tr = PLCTrainer(tc=tc, seed=args.seed)
     val = loader.val_batch()
-    best = BestTracker(metric="loss")
+    cval = None
+    if args.conceal_val_seeds:
+        from lpcnet_tpu.train.corpus import synth_corpus
+        from tools.eval_plc_batched import ConcealmentValidator
+        clips = [synth_corpus(6.0, seed=int(x))
+                 for x in args.conceal_val_seeds.split(",")]
+        cval = ConcealmentValidator(clips)
+        print(f"concealment validator: {len(clips)} clips", flush=True)
+    best = BestTracker(metric="conceal" if cval is not None else "loss")
     mlog = MetricsLogger(os.path.join(outdir, "metrics.jsonl"))
     step = 0
     t0 = time.time()
@@ -103,6 +118,10 @@ def main():
                   f"({step / (time.time() - t0):.2f} steps/s)", flush=True)
         if val is not None and step % args.val_every == 0:
             vm = tr.eval_step(val)
+            txt = f"loss {vm['loss']:.4f}"
+            if cval is not None:
+                vm["conceal"] = cval.evaluate(jax.device_get(tr.state.params))
+                txt += f" conceal {vm['conceal']:.3f}dB"
             improved = best.update(step, vm)
             if improved:
                 save_checkpoint(
@@ -110,7 +129,7 @@ def main():
                     jax.device_get(tr.state.params))
             mlog.log_async(step=step, kind="val", **vm)
             mlog.flush_async()
-            print(f"plc step {step}: VAL loss {vm['loss']:.4f} "
+            print(f"plc step {step}: VAL {txt} "
                   f"(best {best.best:.4f} @ {best.best_step}"
                   f"{' *' if improved else ''})", flush=True)
 
