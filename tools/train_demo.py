@@ -193,6 +193,18 @@ def main():
                  for s in val_seeds]
         validator = HeldOutValidator(cfg, clips)
         best = BestTracker()
+        best_txt = os.path.join(args.outdir, "best.txt")
+        if args.resume and os.path.exists(best_txt):
+            # a supervisor relaunch must not forget the pre-restart best:
+            # a fresh tracker would overwrite model_best.npz with the
+            # first post-restart (possibly worse) validation winner
+            import re as _re
+            m = _re.search(r"step (\d+).*'band_lsd_db': ([0-9.]+)",
+                           open(best_txt).read())
+            if m:
+                best.best_step, best.best = int(m.group(1)), float(m.group(2))
+                print(f"resumed best tracker: {best.best:.3f} dB "
+                      f"@ {best.best_step}", flush=True)
         print(f"validator: {len(clips)} held-out clips "
               f"(seeds {val_seeds})", flush=True)
 
