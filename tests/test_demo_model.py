@@ -37,3 +37,22 @@ def test_demo_model_synthesis_quality():
     out = synth_from_features(DEMO, pcm)
     lsd = band_lsd(pcm[3200:].astype(np.float32), out[3200:])
     assert lsd < 20.0, f"demo model band LSD {lsd:.1f} dB (random ~50 dB)"
+
+
+def test_demo_e2e_model_loads_and_synthesizes():
+    """The shipped e2e checkpoint (the END2END zoo variant, round-5 run)
+    must load with its e2e config and run the differentiable-LPC synthesis
+    path (rc head -> rc2lpc inside the frame network)."""
+    p = os.path.join(os.path.dirname(DEMO), "demo_e2e_model.npz")
+    if not os.path.exists(p):
+        pytest.skip("e2e demo model not present")
+    from lpcnet_tpu import api
+
+    fused, cfg = api.load_model(p)
+    assert cfg.e2e
+    synth = api.Synthesizer(fused=fused, cfg=cfg, batch=1)
+    feats = np.zeros((1, 36), np.float32)
+    feats[0, 18] = 0.2
+    out = np.concatenate([synth.synthesize(feats)[0] for _ in range(4)])
+    assert out.shape == (640,)
+    assert np.isfinite(out.astype(np.float64)).all()

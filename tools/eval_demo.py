@@ -57,8 +57,9 @@ def main():
     lsd_t, lsd_r = m_t["band_lsd_db"], m_r["band_lsd_db"]
     print(f"trained: {format_metrics(m_t)}")
     print(f"random:  {format_metrics(m_r)}")
-    out_trained.astype(np.int16).tofile(
-        os.path.join(os.path.dirname(args.model), "resynth.s16"))
+    # beside the AUDIO, not the model: a model under lpcnet_tpu/data/
+    # must not grow eval byproducts in package data
+    out_trained.astype(np.int16).tofile(args.audio + ".resynth.s16")
     assert lsd_t < lsd_r, "trained model should beat random weights"
     print("OK: training improves analysis/synthesis spectral match")
 
