@@ -12,6 +12,16 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize registers its PJRT plugin at INTERPRETER START
+# (before this file runs) and pins jax's platform config; when the relay
+# is WEDGED (accepts connections, never answers -- observed 2026-08-21)
+# any axon backend init blocks forever, even though these tests only use
+# CPU. Popping the pool-discovery env vars makes a stray init FAIL FAST
+# instead of hanging, and the jax.config.update("jax_platforms") below
+# overrides the registration-time pin.
+for _v in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
+           "AXON_LOOPBACK_RELAY", "AXON_POOL_SVC_OVERRIDE"):
+    os.environ.pop(_v, None)
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 os.environ["PYTHONPATH"] = os.pathsep.join(
     p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
@@ -26,6 +36,8 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Belt and suspenders: pin the default device to the host CPU backend
 # explicitly; multi-chip tests grab jax.devices("cpu") (8 virtual devices
