@@ -602,7 +602,8 @@ def _abl(ablate, name, fn, shape, seed):
 
 def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
                      lpc=None, rng=None, training: bool = True,
-                     gru_states=None, ablate=(), noise_std: float = 0.3):
+                     gru_states=None, ablate=(), noise_std: float = 0.3,
+                     exc_hist_override=None):
     """Full training graph.
 
     Args:
@@ -640,7 +641,14 @@ def training_forward(params, cfg: LPCNetConfig, sig_in, features, periods,
         ablate, "preds",
         lambda: LL.diff_pred(sig_in, lpc * weighting, cfg.frame_size),
         (b, t), sig_in)
-    past_errors = LL.tf_l2u(sig_in - jnp.roll(tensor_preds, 1, axis=-1))
+    if exc_hist_override is None:
+        past_errors = LL.tf_l2u(sig_in - jnp.roll(tensor_preds, 1, axis=-1))
+    else:
+        # scheduled-sampling "hide-exc" arm: the excitation-history channel
+        # is supplied by the caller (e.g. computed from the CLEAN signal) so
+        # the model cannot read its own sampling deviation off this input
+        # (see BENCHMARKS.md round-5 SS mechanism analysis)
+        past_errors = exc_hist_override
 
     cpcm = jnp.stack([LL.tf_l2u(sig_in), LL.tf_l2u(tensor_preds), past_errors],
                      axis=-1)                                    # [B, T, 3]

@@ -114,6 +114,39 @@ def tree_neg_log_pdf(p, labels, eps: float = 1e-7):
     return jnp.minimum(-ll, -math.log(eps))
 
 
+def tree_distill_kl(q, p, eps: float = 1e-6):
+    """KL(Q || P) between the two 256-way distributions defined by bit-tree
+    sigmoid outputs q (teacher) and p (student), computed level-by-level on
+    the tree without materializing either dense pdf.
+
+    By the chain rule of KL over the 8 bit decisions,
+      KL(Q||P) = sum_b sum_{nodes n at level b} reachQ[n] * KL_Bern(q_n, p_n)
+    where reachQ[n] is the teacher's probability of reaching node n.  Nodes
+    at level b occupy the contiguous index range [2^b, 2^{b+1}) (see
+    tree_to_pdf's node arithmetic), so each level is a static slice; the
+    teacher reach probabilities are built by interleaving (1-q)/q children.
+    Used by the scheduled-sampling distillation arm: the teacher pass sees
+    the clean history, the student sees the model's own sampled history, and
+    the loss asks for the same excitation DISTRIBUTION rather than a hard
+    error-correcting target (the round-5 failure mechanism of correction-CE
+    scheduled sampling -- BENCHMARKS.md round-5 SS analysis).
+    """
+    qc = jnp.clip(q, eps, 1.0 - eps)
+    pc = jnp.clip(p, eps, 1.0 - eps)
+    reach = jnp.ones(q.shape[:-1] + (1,), q.dtype)
+    total = jnp.zeros(q.shape[:-1], q.dtype)
+    for b in range(8):
+        sl = slice(1 << b, 2 << b)
+        qb, pb = qc[..., sl], pc[..., sl]
+        kl = qb * (jnp.log(qb) - jnp.log(pb)) + \
+            (1.0 - qb) * (jnp.log1p(-qb) - jnp.log1p(-pb))
+        total = total + jnp.sum(reach * kl, axis=-1)
+        if b < 7:
+            reach = jnp.stack([reach * (1.0 - qb), reach * qb],
+                              axis=-1).reshape(q.shape[:-1] + (2 << b,))
+    return total
+
+
 def metric_cel_tree(sig_out, tensor_preds, p, eps: float = 1e-7):
     """metric_cel computed along the target's tree path (no dense pdf)."""
     e_gt = tf_l2u(sig_out - tensor_preds)

@@ -54,6 +54,15 @@ class TrainConfig:
     # block draws (e.g. 16 -> mean run p*16/(1-p)… samples) exercise real
     # error accumulation while TF blocks resync the trajectory
     ss_block: int = 16
+    # round-5 SS mechanism follow-ups (BENCHMARKS.md round-5 SS analysis):
+    # hide the sampling deviation from the exc-history input channel by
+    # feeding the CLEAN-history excitation there (arm a) ...
+    ss_hide_exc: bool = False
+    # ... and/or replace the hard correction-CE target with a
+    # distribution-matching loss against the teacher-forced pdf of the same
+    # params on the clean history (arm b); 0 = off, w blends
+    # (1-w)*correction-CE + w*KL(teacher || student)
+    ss_distill: float = 0.0
     # std of the Gaussian noise on the u-law (sig, pred, exc) inputs; 0.3
     # is the reference's GaussianNoise(.3) (training_tf2/lpcnet.py:264)
     input_noise: float = 0.3
@@ -81,7 +90,10 @@ def make_optimizer(tc: TrainConfig):
 def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng,
             gru_states=None):
     sig_in = batch["sig_in"]
-    if tc.ss_prob > 0.0:          # static at trace time
+    sig_clean = sig_in
+    exc_override = None
+    ss = tc.ss_prob > 0.0         # static at trace time
+    if ss:
         from .scheduled import mixed_history, sampled_signal
         rng, k_mask, k_samp = jax.random.split(rng, 3)
         b, t = sig_in.shape
@@ -94,12 +106,33 @@ def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng,
         s_hat = sampled_signal(params, cfg, batch, tf_mask, k_samp,
                                gru_states=gru_states, weighting=weighting)
         sig_in = mixed_history(sig_in, s_hat, tf_mask)
+        if tc.ss_hide_exc:
+            # arm (a): exc-history input from the CLEAN signal so the model
+            # cannot read its own sampling deviation off that channel
+            lpc_w = batch["lpc"] * weighting if not cfg.e2e else None
+            if lpc_w is not None:
+                preds_clean = LL.diff_pred(sig_clean, lpc_w, cfg.frame_size)
+                exc_override = LL.tf_l2u(
+                    sig_clean - jnp.roll(preds_clean, 1, axis=-1))
     out = M.training_forward(
         params, cfg, sig_in, batch["features"], batch["periods"],
         lpc=batch.get("lpc"), rng=rng, training=True, gru_states=gru_states,
-        noise_std=tc.input_noise)
+        noise_std=tc.input_noise, exc_hist_override=exc_override)
     cel = jnp.mean(LL.metric_cel_tree(batch["sig_out"], out["tensor_preds"],
                                       out["tree_probs"]))
+    distill = None
+    if ss and tc.ss_distill > 0.0 and not cfg.e2e:
+        # arm (b): match the clean-history (teacher-forced) excitation
+        # DISTRIBUTION of the same params instead of a hard correction
+        # target; identical rng so the noise regularizers cancel and only
+        # the history differs between teacher and student
+        t_out = M.training_forward(
+            jax.lax.stop_gradient(params), cfg, sig_clean,
+            batch["features"], batch["periods"], lpc=batch.get("lpc"),
+            rng=rng, training=True, gru_states=gru_states,
+            noise_std=tc.input_noise)
+        distill = jnp.mean(LL.tree_distill_kl(
+            jax.lax.stop_gradient(t_out["tree_probs"]), out["tree_probs"]))
     if cfg.e2e:
         ce = LL.interp_mulaw_loss_tree(batch["sig_out"], out["tensor_preds"],
                                        out["real_preds"], out["tree_probs"],
@@ -108,11 +141,16 @@ def loss_fn(params, cfg: M.LPCNetConfig, tc: TrainConfig, batch, rng,
         loss = jnp.mean(ce) + 2.0 * jnp.mean(lar)
     else:
         loss = cel
+    if distill is not None:
+        w = tc.ss_distill
+        loss = (1.0 - w) * loss + w * distill
     metrics = {
         "loss": loss,
         "cel": cel,
         "exc_sd": jnp.mean(LL.metric_exc_sd(batch["sig_out"], out["tensor_preds"])),
     }
+    if distill is not None:
+        metrics["distill_kl"] = distill
     return loss, (metrics, out["gru_states"])
 
 

@@ -136,3 +136,73 @@ def test_trainer_steps_with_ss():
         m = trainer.train_step(fake_batch(rng), sub)
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_tree_distill_kl_matches_dense():
+    """Level-by-level tree KL == KL of the dense 256-way pdfs."""
+    from lpcnet_tpu.train import losses as LL
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(0.05 + 0.9 * rng.rand(3, 7, 256).astype(np.float32))
+    p = jnp.asarray(0.05 + 0.9 * rng.rand(3, 7, 256).astype(np.float32))
+    got = np.asarray(LL.tree_distill_kl(q, p))
+    pq = np.asarray(LL.tree_to_pdf(q))
+    pp = np.asarray(LL.tree_to_pdf(p))
+    want = np.sum(pq * (np.log(pq) - np.log(pp)), axis=-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # KL(q||q) == 0
+    zero = np.asarray(LL.tree_distill_kl(q, q))
+    np.testing.assert_allclose(zero, 0.0, atol=1e-5)
+
+
+def test_exc_hist_override_identity():
+    """Passing the internally-computed exc history as the override leaves
+    training_forward bitwise unchanged (the hide-exc hook is inert when fed
+    the default channel)."""
+    from lpcnet_tpu.train import losses as LL
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(7)
+    batch = {k: jnp.asarray(v)
+             for k, v in fake_batch(rng, b=2, frames=2).items()}
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    weighting = jnp.power(jnp.float32(cfg.lpc_gamma),
+                          jnp.arange(1, 17, dtype=jnp.float32))
+    preds = LL.diff_pred(batch["sig_in"], batch["lpc"] * weighting, 160)
+    exc = LL.tf_l2u(batch["sig_in"] - jnp.roll(preds, 1, axis=-1))
+    base = M.training_forward(params, cfg, batch["sig_in"],
+                              batch["features"], batch["periods"],
+                              lpc=batch["lpc"], training=False)
+    over = M.training_forward(params, cfg, batch["sig_in"],
+                              batch["features"], batch["periods"],
+                              lpc=batch["lpc"], training=False,
+                              exc_hist_override=exc)
+    np.testing.assert_array_equal(np.asarray(base["tree_probs"]),
+                                  np.asarray(over["tree_probs"]))
+
+
+def test_loss_fn_ss_arms_finite():
+    """Arm (a) hide-exc and arm (b) distillation: finite loss+grads, and
+    each arm changes the loss vs plain SS."""
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(8)
+    batch = {k: jnp.asarray(v)
+             for k, v in fake_batch(rng, b=2, frames=2).items()}
+    params = M.init_params(jax.random.PRNGKey(0), cfg)
+    key = jax.random.PRNGKey(9)
+    base, _ = loss_fn(params, cfg, TrainConfig(ss_prob=0.5), batch, key)
+    hide, _ = loss_fn(params, cfg,
+                      TrainConfig(ss_prob=0.5, ss_hide_exc=True), batch, key)
+    dist, (m, _) = loss_fn(params, cfg,
+                           TrainConfig(ss_prob=0.5, ss_distill=0.5),
+                           batch, key)
+    for v in (base, hide, dist):
+        assert np.isfinite(float(v))
+    assert float(hide) != float(base)
+    assert float(dist) != float(base)
+    assert np.isfinite(float(m["distill_kl"])) and float(m["distill_kl"]) > 0
+    for tc in (TrainConfig(ss_prob=0.5, ss_hide_exc=True),
+               TrainConfig(ss_prob=0.5, ss_distill=1.0)):
+        g = jax.grad(lambda p: loss_fn(p, cfg, tc, batch, key)[0])(params)
+        flat = jax.tree.leaves(jax.tree.map(
+            lambda x: float(jnp.abs(x).sum()), g))
+        assert all(np.isfinite(v) for v in flat)
+        assert sum(flat) > 0.0

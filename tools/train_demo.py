@@ -92,6 +92,14 @@ def main():
                          "output (train/scheduled.py; 0 = teacher forcing)")
     ap.add_argument("--ss-block", type=int, default=16,
                     help="samples per scheduled-sampling Bernoulli draw")
+    ap.add_argument("--ss-hide-exc", action="store_true",
+                    help="SS arm (a): feed the CLEAN-history excitation to "
+                         "the exc-history input so the model cannot read "
+                         "its own sampling deviation off that channel")
+    ap.add_argument("--ss-distill", type=float, default=0.0,
+                    help="SS arm (b): blend weight of the teacher-student "
+                         "tree-KL (clean-history pdf as target) replacing "
+                         "the hard correction-CE; 0 = off")
     ap.add_argument("--input-noise", type=float, default=0.3,
                     help="std of the Gaussian noise on the u-law "
                          "(sig,pred,exc) inputs (reference: 0.3)")
@@ -145,6 +153,8 @@ def main():
                      schedule_scale=args.schedule_scale,
                      ema_decay=ema_decay,
                      ss_prob=args.ss_prob, ss_block=args.ss_block,
+                     ss_hide_exc=args.ss_hide_exc,
+                     ss_distill=args.ss_distill,
                      input_noise=args.input_noise,
                      **({"density": tuple(args.density_split)}
                         if args.density_split else {}),
